@@ -1,0 +1,120 @@
+"""HDF5 artifact conventions.
+
+Byte-compatible with the reference's artifact store so files produced by
+either implementation interoperate:
+
+* embeddings h5 (reference scripts/generate_img_embeddings.py:31-70):
+  ``img_embedding/<stem>/features`` float32 (1, 256, 64, 64), per-image attrs
+  ``original_size`` (2,), ``input_size`` (2,); file attrs ``checkpoint``
+  (weights filename), ``img_encoder_img_size``.
+* mask h5 (reference scripts/save_segmentations.py:36-56,
+  save_refined_segmentations.py:49-81): ``segmentation_mask/<stem>`` (C, H, W)
+  with file attr ``labels`` (JSON label->index) and optional per-image attr
+  ``estimated_dice`` (C,).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Dict, Iterable, Optional, Tuple
+
+import h5py
+import numpy as np
+
+from samcarriestheburden_tpu.config import BONE_LABEL_MAPPING
+
+
+class EmbeddingWriter:
+    def __init__(self, path, checkpoint_name: str, img_encoder_img_size: int = 1024):
+        Path(path).parent.mkdir(parents=True, exist_ok=True)
+        self.f = h5py.File(path, "w")
+        self.f.attrs["checkpoint"] = checkpoint_name
+        self.f.attrs["img_encoder_img_size"] = img_encoder_img_size
+
+    def write(self, stem: str, features: np.ndarray,
+              original_size: Tuple[int, int], input_size: Tuple[int, int],
+              compression: Optional[str] = "gzip", compression_opts=9):
+        grp = self.f.create_group(f"img_embedding/{stem}")
+        grp.create_dataset("features", data=np.asarray(features, np.float32),
+                           compression=compression, compression_opts=compression_opts)
+        grp.attrs["original_size"] = np.asarray(original_size)
+        grp.attrs["input_size"] = np.asarray(input_size)
+
+    def close(self):
+        self.f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()
+
+
+class EmbeddingReader:
+    def __init__(self, path):
+        self.f = h5py.File(path, "r")
+        self.group = self.f["img_embedding"]
+        self.checkpoint = self.f.attrs["checkpoint"]
+        self.img_encoder_img_size = int(self.f.attrs["img_encoder_img_size"])
+
+    def stems(self):
+        return list(self.group.keys())
+
+    def features(self, stem: str) -> np.ndarray:
+        return self.group[stem]["features"][:]
+
+    def sizes(self, stem: str) -> Tuple[np.ndarray, np.ndarray]:
+        g = self.group[stem]
+        return np.asarray(g.attrs["original_size"]), np.asarray(g.attrs["input_size"])
+
+    def close(self):
+        self.f.close()
+
+
+class MaskWriter:
+    def __init__(self, path, labels: Dict[str, int] = None, attrs: dict = None):
+        Path(path).parent.mkdir(parents=True, exist_ok=True)
+        self.f = h5py.File(path, "w")
+        self.f.attrs["labels"] = json.dumps(labels or BONE_LABEL_MAPPING)
+        for k, v in (attrs or {}).items():
+            self.f.attrs[k] = v
+
+    def write(self, stem: str, masks: np.ndarray,
+              estimated_dice: Optional[np.ndarray] = None,
+              compression="gzip", compression_opts=9):
+        ds = self.f.create_dataset(f"segmentation_mask/{stem}", data=np.asarray(masks),
+                                   compression=compression,
+                                   compression_opts=compression_opts)
+        if estimated_dice is not None:
+            ds.attrs["estimated_dice"] = np.asarray(estimated_dice)
+
+    def close(self):
+        self.f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()
+
+
+class MaskReader:
+    def __init__(self, path, check_labels: bool = True):
+        self.f = h5py.File(path, "r")
+        self.labels = json.loads(self.f.attrs["labels"])
+        if check_labels:
+            assert self.labels == BONE_LABEL_MAPPING, "Loaded labels do not match"
+        self.group = self.f["segmentation_mask"]
+
+    def stems(self):
+        return list(self.group.keys())
+
+    def masks(self, stem: str) -> np.ndarray:
+        return self.group[stem][:]
+
+    def estimated_dice(self, stem: str):
+        return np.asarray(self.group[stem].attrs.get("estimated_dice"))
+
+    def close(self):
+        self.f.close()

@@ -1,0 +1,225 @@
+"""ViTDet-style SAM image encoder, functional
+(reference segment_anything/modeling/image_encoder.py).
+
+TPU-first design notes
+----------------------
+* Layout is NHWC/channels-last token grids throughout; the MXU sees large
+  (tokens × dim) matmuls with no transposes.
+* Windowed attention (28 of 32 ViT-H layers, window 14 → 196 tokens) is
+  reshaped to one big (B·25windows, 196, C) batch — a single batched matmul,
+  not a loop.  The 4 global layers run over all 4096 tokens, which fits
+  per-chip; no sequence parallelism needed at SAM scale.
+* The decomposed relative-position bias (image_encoder.py:325-361) is two
+  einsums against statically-gathered tables; XLA fuses them into the
+  attention logits.  A fused Pallas kernel can be swapped in via
+  ``attention_impl`` (see samcarriestheburden_tpu.kernels).
+* Softmax and LayerNorm statistics stay in fp32; everything else follows the
+  requested compute ``dtype`` (bfloat16 for production inference).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from samcarriestheburden_tpu.config import ImageEncoderConfig
+from samcarriestheburden_tpu.models.common import (
+    conv2d, conv2d_init, gelu, layer_norm, layer_norm_2d, layer_norm_init,
+    linear, linear_init, mlp_block, mlp_block_init)
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+
+def _block_init(key, cfg: ImageEncoderConfig, window_size: int) -> dict:
+    ks = jax.random.split(key, 4)
+    ed = cfg.embed_dim
+    p = {
+        "norm1": layer_norm_init(ed),
+        "attn": {
+            "qkv": linear_init(ks[0], ed, 3 * ed, bias=cfg.qkv_bias),
+            "proj": linear_init(ks[1], ed, ed),
+        },
+        "norm2": layer_norm_init(ed),
+        "mlp": mlp_block_init(ks[2], ed, int(ed * cfg.mlp_ratio)),
+    }
+    if cfg.use_rel_pos:
+        s = window_size if window_size > 0 else cfg.grid_size
+        p["attn"]["rel_pos_h"] = jnp.zeros((2 * s - 1, cfg.head_dim))
+        p["attn"]["rel_pos_w"] = jnp.zeros((2 * s - 1, cfg.head_dim))
+    return p
+
+
+def init(key, cfg: ImageEncoderConfig) -> dict:
+    keys = jax.random.split(key, cfg.depth + 3)
+    params = {
+        "patch_embed": conv2d_init(keys[0], cfg.in_chans, cfg.embed_dim,
+                                   (cfg.patch_size, cfg.patch_size)),
+        "blocks": [
+            _block_init(keys[1 + i], cfg,
+                        0 if i in cfg.global_attn_indexes else cfg.window_size)
+            for i in range(cfg.depth)
+        ],
+        "neck": {
+            "conv1": conv2d_init(keys[-2], cfg.embed_dim, cfg.out_chans, (1, 1), bias=False),
+            "ln1": layer_norm_init(cfg.out_chans),
+            "conv2": conv2d_init(keys[-1], cfg.out_chans, cfg.out_chans, (3, 3), bias=False),
+            "ln2": layer_norm_init(cfg.out_chans),
+        },
+    }
+    if cfg.use_abs_pos:
+        params["pos_embed"] = jnp.zeros((1, cfg.grid_size, cfg.grid_size, cfg.embed_dim))
+    return params
+
+
+# ---------------------------------------------------------------------------
+# window partition (static shapes; reference image_encoder.py:243-289)
+# ---------------------------------------------------------------------------
+
+
+def window_partition(x: jnp.ndarray, window_size: int) -> Tuple[jnp.ndarray, Tuple[int, int]]:
+    """(B, H, W, C) -> (B·nW, ws, ws, C) with bottom/right zero padding."""
+    b, h, w, c = x.shape
+    pad_h = (window_size - h % window_size) % window_size
+    pad_w = (window_size - w % window_size) % window_size
+    if pad_h or pad_w:
+        x = jnp.pad(x, [(0, 0), (0, pad_h), (0, pad_w), (0, 0)])
+    hp, wp = h + pad_h, w + pad_w
+    x = x.reshape(b, hp // window_size, window_size, wp // window_size, window_size, c)
+    windows = jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(-1, window_size, window_size, c)
+    return windows, (hp, wp)
+
+
+def window_unpartition(windows: jnp.ndarray, window_size: int,
+                       pad_hw: Tuple[int, int], hw: Tuple[int, int]) -> jnp.ndarray:
+    hp, wp = pad_hw
+    h, w = hw
+    c = windows.shape[-1]
+    b = windows.shape[0] // (hp * wp // window_size // window_size)
+    x = windows.reshape(b, hp // window_size, wp // window_size, window_size, window_size, c)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(b, hp, wp, c)
+    return x[:, :h, :w, :]
+
+
+# ---------------------------------------------------------------------------
+# decomposed relative position bias (reference image_encoder.py:292-361)
+# ---------------------------------------------------------------------------
+
+
+def _rel_pos_indices(q_size: int, k_size: int) -> np.ndarray:
+    """Static gather indices into the rel-pos table (get_rel_pos:317-322)."""
+    q_coords = np.arange(q_size)[:, None] * max(k_size / q_size, 1.0)
+    k_coords = np.arange(k_size)[None, :] * max(q_size / k_size, 1.0)
+    rel = (q_coords - k_coords) + (k_size - 1) * max(q_size / k_size, 1.0)
+    return rel.astype(np.int64)
+
+
+def resize_rel_pos_table(rel_pos: jnp.ndarray, max_rel_dist: int) -> jnp.ndarray:
+    """Linearly interpolate a (L, C) rel-pos table to ``max_rel_dist`` rows
+    (get_rel_pos:304-315, torch F.interpolate mode='linear' align_corners=False)."""
+    if rel_pos.shape[0] == max_rel_dist:
+        return rel_pos
+    resized = jax.image.resize(rel_pos.astype(jnp.float32),
+                               (max_rel_dist, rel_pos.shape[1]), method="linear")
+    return resized
+
+
+def add_decomposed_rel_pos(attn: jnp.ndarray, q: jnp.ndarray,
+                           rel_pos_h: jnp.ndarray, rel_pos_w: jnp.ndarray,
+                           q_size: Tuple[int, int], k_size: Tuple[int, int]) -> jnp.ndarray:
+    """attn: (B, q_h·q_w, k_h·k_w) fp32; q: (B, q_h·q_w, head_dim).
+    Matches reference add_decomposed_rel_pos (image_encoder.py:325-361)."""
+    q_h, q_w = q_size
+    k_h, k_w = k_size
+    rh = resize_rel_pos_table(rel_pos_h, 2 * max(q_h, k_h) - 1)[_rel_pos_indices(q_h, k_h)]
+    rw = resize_rel_pos_table(rel_pos_w, 2 * max(q_w, k_w) - 1)[_rel_pos_indices(q_w, k_w)]
+
+    b, _, dim = q.shape
+    r_q = q.reshape(b, q_h, q_w, dim)
+    rel_h = jnp.einsum("bhwc,hkc->bhwk", r_q, rh.astype(q.dtype),
+                       preferred_element_type=jnp.float32)
+    rel_w = jnp.einsum("bhwc,wkc->bhwk", r_q, rw.astype(q.dtype),
+                       preferred_element_type=jnp.float32)
+    attn = attn.reshape(b, q_h, q_w, k_h, k_w)
+    attn = attn + rel_h[:, :, :, :, None] + rel_w[:, :, :, None, :]
+    return attn.reshape(b, q_h * q_w, k_h * k_w)
+
+
+# ---------------------------------------------------------------------------
+# attention (reference image_encoder.py:185-240)
+# ---------------------------------------------------------------------------
+
+
+def attention_apply(p: dict, x: jnp.ndarray, num_heads: int,
+                    use_rel_pos: bool) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, H, W, C); fp32 logits + softmax."""
+    b, h, w, c = x.shape
+    hd = c // num_heads
+    scale = hd ** -0.5
+
+    qkv = linear(p["qkv"], x).reshape(b, h * w, 3, num_heads, hd)
+    qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4)).reshape(3, b * num_heads, h * w, hd)
+    q, k, v = qkv[0], qkv[1], qkv[2]
+
+    attn = jnp.einsum("bqd,bkd->bqk", q * scale, k,
+                      preferred_element_type=jnp.float32)
+    if use_rel_pos:
+        attn = add_decomposed_rel_pos(attn, q, p["rel_pos_h"], p["rel_pos_w"],
+                                      (h, w), (h, w))
+    attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(v.dtype)
+    out = jnp.einsum("bqk,bkd->bqd", attn, v)
+    out = out.reshape(b, num_heads, h, w, hd)
+    out = jnp.transpose(out, (0, 2, 3, 1, 4)).reshape(b, h, w, c)
+    return linear(p["proj"], out)
+
+
+# ---------------------------------------------------------------------------
+# block + forward
+# ---------------------------------------------------------------------------
+
+
+def block_apply(p: dict, x: jnp.ndarray, cfg: ImageEncoderConfig,
+                window_size: int, attention_impl=attention_apply) -> jnp.ndarray:
+    shortcut = x
+    x = layer_norm(p["norm1"], x, cfg.layer_norm_eps)
+    if window_size > 0:
+        h, w = x.shape[1], x.shape[2]
+        x, pad_hw = window_partition(x, window_size)
+    x = attention_impl(p["attn"], x, cfg.num_heads, cfg.use_rel_pos)
+    if window_size > 0:
+        x = window_unpartition(x, window_size, pad_hw, (h, w))
+    x = shortcut + x
+    return x + mlp_block(p["mlp"], layer_norm(p["norm2"], x, cfg.layer_norm_eps))
+
+
+def apply(params: dict, cfg: ImageEncoderConfig, x: jnp.ndarray, *,
+          dtype=jnp.float32, attention_impl=attention_apply) -> jnp.ndarray:
+    """(B, 3, img, img) NCHW in (API parity) -> (B, out_chans, grid, grid) NCHW out.
+
+    ``dtype`` is the compute precision for the transformer stack (bfloat16 on
+    TPU for production; fp32 for parity tests).
+    """
+    x = jnp.transpose(x, (0, 2, 3, 1)).astype(dtype)  # NHWC
+    x = conv2d(params["patch_embed"], x,
+               stride=(cfg.patch_size, cfg.patch_size), padding="VALID")
+    if cfg.use_abs_pos:
+        x = x + params["pos_embed"].astype(dtype)
+
+    for i, blk in enumerate(params["blocks"]):
+        ws = 0 if i in cfg.global_attn_indexes else cfg.window_size
+        x = block_apply(blk, x, cfg, ws, attention_impl)
+
+    n = params["neck"]
+    x = x.astype(jnp.float32)
+    x = conv2d(n["conv1"], x, padding="VALID")
+    x = layer_norm_2d(n["ln1"], x, eps=1e-6)
+    x = conv2d(n["conv2"], x, padding=[(1, 1), (1, 1)])
+    x = layer_norm_2d(n["ln2"], x, eps=1e-6)
+    return jnp.transpose(x, (0, 3, 1, 2))  # NCHW

@@ -1,0 +1,100 @@
+"""SAM mask decoder, functional (reference segment_anything/modeling/mask_decoder.py).
+
+Differences from the reference that are TPU-motivated, not semantic:
+
+* the four hypernetwork MLPs are *stacked* into one parameter pytree and
+  evaluated with ``vmap`` instead of a Python loop (mask_decoder.py:139-142);
+* ``multimask_output`` slicing is a static argument so both variants compile
+  to fixed shapes.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from samcarriestheburden_tpu.config import MaskDecoderConfig
+from samcarriestheburden_tpu.models import transformer
+from samcarriestheburden_tpu.models.common import (
+    conv2d_transpose, conv_transpose_init, gelu, layer_norm_2d, layer_norm_init,
+    mlp, mlp_init)
+
+
+def init(key, cfg: MaskDecoderConfig) -> dict:
+    ks = jax.random.split(key, 7)
+    td = cfg.transformer_dim
+    nt = cfg.num_mask_tokens
+    hyper_keys = jax.random.split(ks[4], nt)
+    # stacked hypernetwork MLPs: vmap over the leading token axis
+    hyper = jax.vmap(lambda k: mlp_init(k, td, td, td // 8, 3))(hyper_keys)
+    return {
+        "transformer": transformer.init(ks[0], cfg),
+        "iou_token": jax.random.normal(ks[1], (1, td)),
+        "mask_tokens": jax.random.normal(ks[2], (nt, td)),
+        "output_upscaling": {
+            "up1": conv_transpose_init(ks[3], td, td // 4, (2, 2)),
+            "ln": layer_norm_init(td // 4),
+            "up2": conv_transpose_init(ks[5], td // 4, td // 8, (2, 2)),
+        },
+        "output_hypernetworks_mlps": hyper,
+        "iou_prediction_head": mlp_init(ks[6], td, cfg.iou_head_hidden_dim,
+                                        nt, cfg.iou_head_depth),
+    }
+
+
+def predict_masks(params: dict, cfg: MaskDecoderConfig,
+                  image_embeddings: jnp.ndarray, image_pe: jnp.ndarray,
+                  sparse_prompt_embeddings: jnp.ndarray,
+                  dense_prompt_embeddings: jnp.ndarray
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Reference ``predict_masks`` (mask_decoder.py:112-149).
+
+    image_embeddings: (1 or B, C, H, W); image_pe: (1, C, H, W);
+    sparse: (B, N, C); dense: (B, C, H, W).
+    Returns (masks (B, num_mask_tokens, 4H, 4W), iou_pred (B, num_mask_tokens)).
+    """
+    b = sparse_prompt_embeddings.shape[0]
+    nt = cfg.num_mask_tokens
+
+    output_tokens = jnp.concatenate([params["iou_token"], params["mask_tokens"]], axis=0)
+    output_tokens = jnp.broadcast_to(output_tokens[None], (b, 1 + nt, cfg.transformer_dim))
+    tokens = jnp.concatenate([output_tokens, sparse_prompt_embeddings], axis=1)
+
+    src = jnp.broadcast_to(image_embeddings, (b,) + image_embeddings.shape[1:])
+    src = src + dense_prompt_embeddings
+    _, c, h, w = src.shape
+
+    hs, src_out = transformer.apply(params["transformer"], cfg, src, image_pe, tokens)
+    iou_token_out = hs[:, 0, :]
+    mask_tokens_out = hs[:, 1:1 + nt, :]
+
+    # upscale image features 4x (reference :53-59,137-138); NHWC internally
+    x = src_out.reshape(b, h, w, c)
+    up = params["output_upscaling"]
+    x = conv2d_transpose(up["up1"], x, (2, 2))
+    x = gelu(layer_norm_2d(up["ln"], x))
+    x = gelu(conv2d_transpose(up["up2"], x, (2, 2)))
+    upscaled = x  # (B, 4H, 4W, C//8)
+
+    # hypernetworks: vmap over the stacked token axis (reference loop :139-142)
+    hyper_in = jax.vmap(lambda p, t: mlp(p, t), in_axes=(0, 1), out_axes=1)(
+        params["output_hypernetworks_mlps"], mask_tokens_out)  # (B, nt, C//8)
+
+    masks = jnp.einsum("btc,bhwc->bthw", hyper_in, upscaled,
+                       preferred_element_type=jnp.float32)
+    iou_pred = mlp(params["iou_prediction_head"], iou_token_out)
+    return masks, iou_pred
+
+
+def apply(params: dict, cfg: MaskDecoderConfig,
+          image_embeddings: jnp.ndarray, image_pe: jnp.ndarray,
+          sparse_prompt_embeddings: jnp.ndarray,
+          dense_prompt_embeddings: jnp.ndarray,
+          multimask_output: bool) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Reference ``MaskDecoder.forward`` (mask_decoder.py:71-110)."""
+    masks, iou_pred = predict_masks(params, cfg, image_embeddings, image_pe,
+                                    sparse_prompt_embeddings, dense_prompt_embeddings)
+    sl = slice(1, None) if multimask_output else slice(0, 1)
+    return masks[:, sl], iou_pred[:, sl]

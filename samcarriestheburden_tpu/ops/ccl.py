@@ -1,0 +1,80 @@
+"""Connected-component labelling and component selection, fully on device.
+
+The reference uses kornia's iterative CCL plus a Python loop over components
+(utils/segmentation_preprocessing.py:7-52).  Here:
+
+* :func:`connected_components` — the same max-label-propagation scheme kornia
+  uses (8-connectivity via a 3×3 max-pool), expressed as ``lax.fori_loop`` so
+  the whole thing is one fused XLA while-loop.
+* :func:`remove_all_but_one_connected_component` — the winner component is
+  found with ``segment_sum`` over label ids instead of ``unique()`` + Python
+  loop, which keeps shapes static and lets the op vmap over classes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.jit, static_argnames=("num_iterations",))
+def connected_components(mask: jnp.ndarray, num_iterations: int) -> jnp.ndarray:
+    """Label 8-connected components of (..., H, W) binary masks.
+
+    Returns int32 labels; 0 = background, foreground labels are arbitrary
+    distinct positive ids (linear index + 1 of some member pixel), matching
+    kornia.contrib.connected_components' convention the reference relies on.
+
+    ``num_iterations`` bounds propagation distance; the reference sets it to
+    max(H, W) (seg_refinement.py:66).
+    """
+    h, w = mask.shape[-2:]
+    fg = mask > 0.5
+    init = (jnp.arange(h * w, dtype=jnp.int32).reshape(h, w) + 1) * fg
+
+    def propagate(_, labels):
+        grown = jax.lax.reduce_window(
+            labels, jnp.int32(0), jax.lax.max,
+            window_dimensions=(1,) * (labels.ndim - 2) + (3, 3),
+            window_strides=(1,) * labels.ndim,
+            padding=[(0, 0)] * (labels.ndim - 2) + [(1, 1), (1, 1)])
+        return grown * fg
+
+    return jax.lax.fori_loop(0, num_iterations, propagate, init)
+
+
+@partial(jax.jit, static_argnames=("selection", "num_iter"))
+def remove_all_but_one_connected_component(prob_mask: jnp.ndarray, selection: str,
+                                           num_iter: int) -> jnp.ndarray:
+    """Keep one connected component per class of a (C, H, W) probability mask.
+
+    ``selection``: 'largest' (by pixel area) or 'highest_probability' (by mean
+    probability).  Returns the probability mask zeroed outside the winning
+    component, like the reference (segmentation_preprocessing.py:50-51
+    ``refined_mask *= prob_mask``).  Empty classes stay empty.
+    """
+    assert prob_mask.ndim == 3, "segmentation_mask should be 3D tensor of shape (C, H, W)"
+    if selection not in ("largest", "highest_probability"):
+        raise NotImplementedError(f"Invalid selection: {selection}")
+    c, h, w = prob_mask.shape
+    labels = connected_components(prob_mask.astype(jnp.float32), num_iter)  # (C, H, W)
+
+    def per_class(lbl, prob):
+        flat_lbl = lbl.reshape(-1)
+        flat_prob = prob.reshape(-1)
+        n_ids = h * w + 1
+        areas = jax.ops.segment_sum(jnp.ones_like(flat_prob), flat_lbl, n_ids)
+        if selection == "largest":
+            metric = areas
+        else:
+            sums = jax.ops.segment_sum(flat_prob, flat_lbl, n_ids)
+            metric = sums / jnp.maximum(areas, 1.0)
+        metric = metric.at[0].set(-jnp.inf)          # background never wins
+        metric = jnp.where(areas > 0, metric, -jnp.inf)
+        winner = jnp.argmax(metric)
+        keep = (lbl == winner) & (lbl > 0)
+        return keep.astype(prob.dtype) * prob
+
+    return jax.vmap(per_class)(labels, prob_mask)

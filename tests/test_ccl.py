@@ -1,0 +1,55 @@
+import numpy as np
+from scipy import ndimage
+
+from samcarriestheburden_tpu.ops.ccl import connected_components, remove_all_but_one_connected_component
+
+
+def test_component_count_matches_scipy(rng):
+    mask = (rng.random((48, 48)) > 0.7).astype(np.float32)
+    labels = np.asarray(connected_components(mask, num_iterations=48))
+    _, n_scipy = ndimage.label(mask > 0.5, structure=np.ones((3, 3)))  # 8-connectivity
+    n_ours = len(np.unique(labels[labels > 0]))
+    assert n_ours == n_scipy
+    # members of one scipy component share one of our labels
+    scipy_lbl, _ = ndimage.label(mask > 0.5, structure=np.ones((3, 3)))
+    for comp in range(1, n_scipy + 1):
+        ours = labels[scipy_lbl == comp]
+        assert len(np.unique(ours)) == 1 and ours[0] > 0
+
+
+def test_background_is_zero():
+    mask = np.zeros((8, 8), np.float32)
+    labels = np.asarray(connected_components(mask, 8))
+    assert (labels == 0).all()
+
+
+def test_select_largest():
+    prob = np.zeros((1, 32, 32), np.float32)
+    prob[0, 2:6, 2:6] = 0.9      # 16 px
+    prob[0, 20:30, 20:30] = 0.6  # 100 px (largest)
+    out = np.asarray(remove_all_but_one_connected_component(prob, "largest", 32))
+    assert out[0, 25, 25] > 0 and out[0, 3, 3] == 0
+    np.testing.assert_allclose(out[0, 20:30, 20:30], 0.6)
+
+
+def test_select_highest_probability():
+    prob = np.zeros((1, 32, 32), np.float32)
+    prob[0, 2:6, 2:6] = 0.9
+    prob[0, 20:30, 20:30] = 0.6
+    out = np.asarray(remove_all_but_one_connected_component(prob, "highest_probability", 32))
+    assert out[0, 3, 3] > 0 and out[0, 25, 25] == 0
+
+
+def test_empty_class_stays_empty():
+    prob = np.zeros((2, 16, 16), np.float32)
+    prob[1, 4:8, 4:8] = 0.8
+    out = np.asarray(remove_all_but_one_connected_component(prob, "largest", 16))
+    assert out[0].sum() == 0 and out[1].sum() > 0
+
+
+def test_preserves_probabilities():
+    """Output is (winner mask) * prob, reference :50-51."""
+    prob = np.zeros((1, 16, 16), np.float32)
+    prob[0, 2:6, 2:6] = np.linspace(0.55, 0.95, 16).reshape(4, 4)
+    out = np.asarray(remove_all_but_one_connected_component(prob, "largest", 16))
+    np.testing.assert_allclose(out[0, 2:6, 2:6], prob[0, 2:6, 2:6])

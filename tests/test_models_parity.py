@@ -1,0 +1,89 @@
+"""Numerical parity against golden fixtures generated from the reference
+PyTorch implementation (tools/make_goldens.py)."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from samcarriestheburden_tpu.config import UNetConfig, sam_vit_t_config
+from samcarriestheburden_tpu.models import (
+    convert, image_encoder, mask_decoder, prompt_encoder, unet)
+from samcarriestheburden_tpu.models.sam import SamModel
+
+GOLDEN = Path(__file__).parent / "golden"
+CFG = sam_vit_t_config()
+
+
+def load_golden(name):
+    data = np.load(GOLDEN / f"{name}.npz")
+    sd = {k[3:]: data[k] for k in data.files if k.startswith("sd/")}
+    arrays = {k: data[k] for k in data.files if not k.startswith("sd/")}
+    return sd, arrays
+
+
+def test_prompt_encoder_parity():
+    sd, g = load_golden("prompt_encoder")
+    params = convert.prompt_encoder_params_from_torch(sd, prefix="")
+    cfg = CFG.prompt_encoder
+
+    sp, dn = prompt_encoder.apply(params, cfg, points=(g["coords"], g["labels"]))
+    np.testing.assert_allclose(np.asarray(sp), g["sp_pts"], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dn), g["dn_pts"], atol=1e-5)
+
+    sp, dn = prompt_encoder.apply(params, cfg, boxes=g["boxes"])
+    np.testing.assert_allclose(np.asarray(sp), g["sp_box"], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dn), g["dn_box"], atol=1e-5)
+
+    sp, dn = prompt_encoder.apply(params, cfg, points=(g["coords"], g["labels"]),
+                                  boxes=g["boxes"], masks=g["mask_in"])
+    np.testing.assert_allclose(np.asarray(sp), g["sp_all"], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dn), g["dn_all"], atol=1e-5)
+
+    pe = prompt_encoder.get_dense_pe(params, cfg)
+    np.testing.assert_allclose(np.asarray(pe), g["dense_pe"], atol=1e-5)
+
+
+@pytest.mark.parametrize("multi", [True, False])
+def test_mask_decoder_parity(multi):
+    sd, g = load_golden("mask_decoder")
+    params = convert.mask_decoder_params_from_torch(sd, CFG.mask_decoder, prefix="")
+    masks, iou = mask_decoder.apply(params, CFG.mask_decoder, g["img_emb"],
+                                    g["img_pe"], g["sparse"], g["dense"],
+                                    multimask_output=multi)
+    suffix = "multi" if multi else "single"
+    np.testing.assert_allclose(np.asarray(masks), g[f"masks_{suffix}"], atol=2e-4)
+    np.testing.assert_allclose(np.asarray(iou), g[f"iou_{suffix}"], atol=2e-5)
+
+
+def test_image_encoder_parity():
+    sd, g = load_golden("image_encoder")
+    params = convert.image_encoder_params_from_torch(sd, CFG.image_encoder, prefix="")
+    out = image_encoder.apply(params, CFG.image_encoder, g["x"])
+    np.testing.assert_allclose(np.asarray(out), g["out"], atol=2e-4)
+
+
+def test_sam_end_to_end_parity():
+    sd, g = load_golden("sam_e2e")
+    params = convert.sam_params_from_torch(sd, CFG)
+    model = SamModel(cfg=CFG, params=params)
+    out = model.forward([{
+        "image": g["image"],
+        "original_size": (200, 256),
+        "point_coords": g["pt"],
+        "point_labels": g["lbl"],
+        "boxes": g["box"],
+    }], multimask_output=False)[0]
+    np.testing.assert_allclose(np.asarray(out["low_res_logits"]), g["low_res"],
+                               atol=5e-4)
+    np.testing.assert_allclose(np.asarray(out["iou_predictions"]), g["iou"], atol=1e-4)
+    agree = (np.asarray(out["masks"]) == g["masks"]).mean()
+    assert agree > 0.999, f"mask agreement {agree}"
+
+
+def test_unet_parity():
+    sd, g = load_golden("unet")
+    cfg = UNetConfig(n_channels=1, n_classes=17, n_last_channel=64)
+    params = convert.unet_params_from_torch(sd, cfg)
+    out = unet.apply(params, cfg, g["x"])
+    np.testing.assert_allclose(np.asarray(out), g["y"], atol=2e-4)

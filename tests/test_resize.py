@@ -1,0 +1,73 @@
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from samcarriestheburden_tpu.ops import resize as R
+
+
+@pytest.mark.parametrize("hw,long", [((2940, 1720), 1024), ((384, 224), 256),
+                                     ((1024, 1024), 1024), ((5, 7), 13)])
+def test_get_preprocess_shape(hw, long):
+    scale = long / max(hw)
+    expected = (int(hw[0] * scale + 0.5), int(hw[1] * scale + 0.5))
+    assert R.get_preprocess_shape(hw[0], hw[1], long) == expected
+    # longest side hits the target exactly
+    assert max(R.get_preprocess_shape(hw[0], hw[1], long)) == long
+
+
+@pytest.mark.parametrize("in_hw,out_hw", [((32, 48), (17, 23)), ((16, 16), (64, 64)),
+                                          ((64, 64), (256, 256))])
+def test_bilinear_matches_torch(rng, in_hw, out_hw):
+    x = rng.standard_normal((2, 3, *in_hw)).astype(np.float32)
+    ours = np.asarray(R.resize_bilinear(x, out_hw))
+    theirs = F.interpolate(torch.from_numpy(x), out_hw, mode="bilinear",
+                           align_corners=False).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+
+def test_bilinear_antialias_matches_torch(rng):
+    x = rng.standard_normal((1, 1, 64, 48)).astype(np.float32)
+    ours = np.asarray(R.resize_bilinear(x, (20, 15), antialias=True))
+    theirs = F.interpolate(torch.from_numpy(x), (20, 15), mode="bilinear",
+                           align_corners=False, antialias=True).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=1e-4)
+
+
+@pytest.mark.parametrize("exact", [True, False])
+@pytest.mark.parametrize("in_hw,out_hw", [((256, 256), (384, 224)), ((37, 11), (7, 29))])
+def test_nearest_matches_torch(rng, exact, in_hw, out_hw):
+    x = rng.standard_normal((1, 2, *in_hw)).astype(np.float32)
+    ours = np.asarray(R.resize_nearest(x, out_hw, exact=exact))
+    mode = "nearest-exact" if exact else "nearest"
+    theirs = F.interpolate(torch.from_numpy(x), out_hw, mode=mode).numpy()
+    np.testing.assert_array_equal(ours, theirs)
+
+
+def test_apply_coords_and_boxes():
+    coords = np.array([[100.0, 200.0], [0.0, 0.0]])
+    out = np.asarray(R.apply_coords(coords, (2940, 1720), 1024))
+    newh, neww = R.get_preprocess_shape(2940, 1720, 1024)
+    np.testing.assert_allclose(out[0], [100 * neww / 1720, 200 * newh / 2940], rtol=1e-6)
+    boxes = np.array([[10.0, 20.0, 30.0, 40.0]])
+    out_b = np.asarray(R.apply_boxes(boxes, (2940, 1720), 1024))
+    np.testing.assert_allclose(
+        out_b[0], [10 * neww / 1720, 20 * newh / 2940, 30 * neww / 1720, 40 * newh / 2940],
+        rtol=1e-6)
+
+
+def test_scale_coords_box_frames():
+    coords = np.array([[10.0, 20.0]])
+    out = np.asarray(R.scale_coords(coords, (384, 224), (960, 560)))
+    np.testing.assert_allclose(out, [[10 * 560 / 224, 20 * 960 / 384]], rtol=1e-6)
+    box = np.array([[1.0, 2.0, 3.0, 4.0]])
+    out_b = np.asarray(R.scale_box(box, (100, 50), (200, 200)))
+    np.testing.assert_allclose(out_b, [[4.0, 4.0, 12.0, 8.0]], rtol=1e-6)
+
+
+def test_pad_bottom_right(rng):
+    x = rng.standard_normal((3, 5, 7)).astype(np.float32)
+    out = np.asarray(R.pad_bottom_right(x, (8, 9)))
+    assert out.shape == (3, 8, 9)
+    np.testing.assert_array_equal(out[:, :5, :7], x)
+    assert np.all(out[:, 5:, :] == 0) and np.all(out[:, :, 7:] == 0)
