@@ -74,11 +74,15 @@ def extract_prompt_arrays(pred_mask: jnp.ndarray) -> dict:
 
 
 def neg_seed_table(pos_seeds: jnp.ndarray, pos_valid: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Negative seeds for class i = every *other* class's positive seed
-    (reference :132-133), as a static (C, C, 2) table + (C, C) validity."""
+    """Negative seeds for class i = every *other* class's positive seed in
+    ascending class order (reference :132-133), as a static (C, C-1, 2) table
+    + (C, C-1) validity.  With all classes valid this reproduces the
+    reference's token layout exactly; missing classes become not-a-point pads
+    (SAM's own padding convention) instead of shrinking the tensor."""
     c = pos_seeds.shape[0]
-    table = jnp.broadcast_to(pos_seeds[None], (c, c, 2))
-    valid = pos_valid[None, :] & ~jnp.eye(c, dtype=bool)
+    idx = np.asarray([[j for j in range(c) if j != i] for i in range(c)])
+    table = pos_seeds[idx]          # (C, C-1, 2)
+    valid = pos_valid[idx]          # (C, C-1)
     return table, valid
 
 

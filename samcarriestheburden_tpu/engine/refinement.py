@@ -162,9 +162,10 @@ class SamSegRefiner(SegRefiner):
 
         coords1, labels1 = self._build_prompts(arrays, neg_table, neg_valid,
                                                self.prompts2use1st, seg_hw, input_size)
+        g4 = head.cfg.prompt_encoder.image_embedding_size[0] * 4
         low_res, iou = head._decode(
             features, coords1, labels1,
-            jnp.zeros((coords1.shape[0], 1, 256, 256), jnp.float32),
+            jnp.zeros((coords1.shape[0], 1, g4, g4), jnp.float32),
             jnp.zeros((coords1.shape[0],), bool))
         if self.self_refine:
             coords2, labels2 = self._build_prompts(arrays, neg_table, neg_valid,
