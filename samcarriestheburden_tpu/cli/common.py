@@ -1,0 +1,73 @@
+"""Shared CLI plumbing (reference unet_training/hyper_params.py:3-19)."""
+
+from __future__ import annotations
+
+import argparse
+
+from samcarriestheburden_tpu.config import TrainConfig
+
+
+def hp_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="training")
+    # settings
+    p.add_argument("--gpu_id", type=int, default=None,
+                   help="accepted for reference-CLI parity; JAX manages devices")
+    p.add_argument("--seed", type=int, default=42, help="seed for reproducibility")
+    # hyperparameters
+    p.add_argument("--lr", type=float, default=0.001, help="initial learning rate")
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--infer_batch_size", type=int, default=16,
+                   help="batch size during validation and testing")
+    p.add_argument("--weight_decay", type=float, default=0,
+                   help="weight decay used by optimizer")
+    p.add_argument("--epochs", type=int, default=350,
+                   help="number of epochs for training")
+    p.add_argument("--data_aug", type=float, default=0.03,
+                   help="strength of affine data augmentation.")
+    p.add_argument("--lr_scheduler", default=True,
+                   action=argparse.BooleanOptionalAction,
+                   help="whether to use learning rate scheduler")
+    # architecture
+    p.add_argument("--n_last_channel", type=int, default=64,
+                   help="number of channels before the last convolution")
+    # TPU-native additions
+    p.add_argument("--data_root", type=str, default="data")
+    p.add_argument("--num_devices", type=int, default=None,
+                   help="data-parallel device count (default: all)")
+    p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    return p
+
+
+def train_config_from_args(args, **overrides) -> TrainConfig:
+    kw = dict(seed=args.seed, lr=args.lr, batch_size=args.batch_size,
+              infer_batch_size=args.infer_batch_size,
+              weight_decay=args.weight_decay, epochs=args.epochs,
+              data_aug=args.data_aug, lr_scheduler=args.lr_scheduler,
+              n_last_channel=args.n_last_channel)
+    kw.update(overrides)
+    return TrainConfig(**kw)
+
+
+def setup_backend(args) -> None:
+    if getattr(args, "cpu", False):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+
+def maybe_mesh(args):
+    """Data mesh over the largest device count that divides the batch size
+    (padding-free sharding); None on a single device."""
+    import math
+
+    import jax
+
+    n = args.num_devices or len(jax.devices())
+    batch = getattr(args, "batch_size", None)
+    if batch is not None:
+        n = math.gcd(n, batch)
+    if n <= 1:
+        return None
+    from samcarriestheburden_tpu.parallel.mesh import make_mesh
+
+    return make_mesh(n)

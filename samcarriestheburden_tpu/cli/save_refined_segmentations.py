@@ -1,0 +1,92 @@
+"""SAM-refined pseudo-label export
+(reference scripts/save_refined_segmentations.py).
+
+python -m samcarriestheburden_tpu.cli.save_refined_segmentations --model_id <id>
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Save SAM-refined segmentations")
+    p.add_argument("--model_id", type=str, required=True)
+    p.add_argument("--n_files", type=str, default="all", help="'500' or 'all'")
+    p.add_argument("--data_root", type=str, default="data")
+    p.add_argument("--sam_type", choices=["SAM", "MedSAM"], default="SAM")
+    # authors' HPO-selected refinement config (reference :25-31)
+    p.add_argument("--prompt1st", nargs="*", default=["box"])
+    p.add_argument("--prompt2nd", nargs="*", default=["pos_points", "neg_points"])
+    p.add_argument("--ccl_selection", default="highest_probability")
+    p.add_argument("--morph_op", default="dilation")
+    p.add_argument("--struct_elem", default="square")
+    p.add_argument("--radius", type=int, default=8)
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args(argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import cv2
+    import jax
+    import jax.numpy as jnp
+    from tqdm import tqdm
+
+    from samcarriestheburden_tpu.cli.save_segmentations import select_unlabeled_files
+    from samcarriestheburden_tpu.config import GRAZ_IMG_MEAN, GRAZ_IMG_STD, UNET_INPUT_HW
+    from samcarriestheburden_tpu.data.h5io import MaskWriter
+    from samcarriestheburden_tpu.engine.refinement import SamSegRefiner, SegEnhance
+    from samcarriestheburden_tpu.models import unet
+    from samcarriestheburden_tpu.models.modelio import ModelRegistry
+
+    registry = ModelRegistry(f"{args.data_root}/model_registry")
+    unet_cfg, params = registry.load(args.model_id)
+    H, W = UNET_INPUT_HW
+
+    refine_params = {
+        "prompts2use": [list(args.prompt1st), list(args.prompt2nd)],
+        "ccl_selection": args.ccl_selection,
+        "morph_op": args.morph_op,
+        "struct_elem": args.struct_elem,
+        "radius": args.radius,
+    }
+    sam_refiner = SamSegRefiner(args.sam_type, None, refine_params["prompts2use"],
+                                data_root=args.data_root)
+    seg_processor = SegEnhance(sam_refiner, refine_params["ccl_selection"],
+                               refine_params["morph_op"],
+                               refine_params["struct_elem"],
+                               refine_params["radius"], None)
+    print(f"Refine model {args.model_id} segmentation with {refine_params}")
+
+    @jax.jit
+    def predict_probs(x):
+        x = (x - GRAZ_IMG_MEAN) / GRAZ_IMG_STD
+        return jax.nn.sigmoid(unet.apply(params, unet_cfg, x))
+
+    files = select_unlabeled_files(args.data_root, args.n_files)
+    img_dir = Path(args.data_root) / "img_only_front_all_left"
+    id_str = "_".join(args.prompt1st) + "_refine_" + "_".join(args.prompt2nd)
+    out = (Path(args.data_root) / "seg_masks" / args.model_id /
+           f"sam_{id_str}_{len(files) if args.n_files != '500' else 500}.h5")
+
+    with MaskWriter(out, attrs={"refine_params": json.dumps(refine_params),
+                                "model_id": args.model_id}) as writer:
+        for name in tqdm(files, unit="img", desc="Refine segmentation"):
+            img = cv2.imread(str(img_dir / f"{name}.png"), cv2.IMREAD_GRAYSCALE)
+            img = cv2.resize(img, (W, H), interpolation=cv2.INTER_LINEAR)
+            x = jnp.asarray(img[None, None].astype(np.float32) / 255.0)
+            y_hat = predict_probs(x)[0]
+            refined, est_dice = seg_processor.enhance(y_hat, name)
+            writer.write(name, np.asarray(refined).astype(np.uint8),
+                         estimated_dice=np.asarray(est_dice))
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -202,6 +202,10 @@ class TrainConfig(_ConfigBase):
     n_last_channel: int = 64
     data_sample_per_epoch: int = 48
     num_train_samples: int = -1  # -1 == all
+    #: 'bootstrap' = sample with replacement (initial training, training.py:41-42);
+    #: 'shuffle' = shuffled full epochs with drop_last (pseudo-label training,
+    #: training_on_pseudo_labels.py:65-66)
+    sample_mode: str = "bootstrap"
     # TPU-native additions (absent in reference): data-parallel device count.
     num_devices: int = 1
 

@@ -1,0 +1,94 @@
+"""Batched SAM image-embedding precompute
+(reference scripts/generate_img_embeddings.py).
+
+The reference encodes one image at a time through SamPredictor.  Here images
+are batched into fixed (B, 3, 1024, 1024) encoder dispatches — resize-longest-
+side on host, normalise+pad fused on device with per-image validity masks so
+every batch compiles once — and the batch axis shards across the mesh for
+multi-chip precompute.  Output h5 schema is byte-compatible with the
+reference's (features + original_size/input_size attrs, checkpoint +
+img_encoder_img_size file attrs)."""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from samcarriestheburden_tpu.data.h5io import EmbeddingWriter
+from samcarriestheburden_tpu.models.sam import SamModel
+from samcarriestheburden_tpu.ops.resize import get_preprocess_shape, resize_longest_side_np
+from samcarriestheburden_tpu.parallel import mesh as pmesh
+
+
+def load_image_rgb(path) -> np.ndarray:
+    """Grayscale PNG -> HWC RGB uint8 (reference :39-40)."""
+    import cv2
+
+    img = cv2.imread(str(path), cv2.IMREAD_GRAYSCALE)
+    if img is None:
+        raise FileNotFoundError(path)
+    return cv2.cvtColor(img, cv2.COLOR_GRAY2RGB)
+
+
+def make_encode_batch(model: SamModel, dtype=jnp.bfloat16):
+    """jitted (B, 3, S, S) raw zero-padded uint8 batch + (B, 2) input sizes
+    -> (B, 256, G, G) embeddings.  Normalise-then-pad semantics via validity
+    masking (sam.py:164-174)."""
+    size = model.img_size
+    mean = jnp.asarray(model.cfg.pixel_mean, jnp.float32).reshape(1, -1, 1, 1)
+    std = jnp.asarray(model.cfg.pixel_std, jnp.float32).reshape(1, -1, 1, 1)
+
+    @jax.jit
+    def encode(params, imgs, input_sizes):
+        ih = jax.lax.broadcasted_iota(jnp.int32, (size, size), 0)
+        iw = jax.lax.broadcasted_iota(jnp.int32, (size, size), 1)
+        valid = ((ih[None] < input_sizes[:, 0, None, None])
+                 & (iw[None] < input_sizes[:, 1, None, None]))
+        x = (imgs.astype(jnp.float32) - mean) / std
+        x = x * valid[:, None]
+        from samcarriestheburden_tpu.models import image_encoder
+
+        return image_encoder.apply(params["image_encoder"],
+                                   model.cfg.image_encoder, x, dtype=dtype)
+
+    return encode
+
+
+def precompute_embeddings(model: SamModel, image_files: Sequence,
+                          out_h5, checkpoint_name: str, *,
+                          batch_size: int = 8, dtype=jnp.bfloat16,
+                          mesh=None, progress: bool = True) -> None:
+    """Encode every image and write the embeddings h5."""
+    size = model.img_size
+    encode = make_encode_batch(model, dtype)
+    files: List[Path] = [Path(f) for f in image_files]
+    it = range(0, len(files), batch_size)
+    if progress:
+        from tqdm import tqdm
+
+        it = tqdm(it, unit="batch", desc="Saving embeddings")
+
+    with EmbeddingWriter(out_h5, checkpoint_name, size) as writer:
+        for start in it:
+            chunk = files[start:start + batch_size]
+            batch = np.zeros((batch_size, 3, size, size), np.uint8)
+            sizes = np.ones((batch_size, 2), np.int32)
+            orig_sizes = []
+            for i, f in enumerate(chunk):
+                img = load_image_rgb(f)
+                resized = resize_longest_side_np(img, size)
+                h, w = resized.shape[:2]
+                batch[i, :, :h, :w] = resized.transpose(2, 0, 1)
+                sizes[i] = (h, w)
+                orig_sizes.append(img.shape[:2])
+            if mesh is not None:
+                batch, sizes = pmesh.shard_batch(mesh, (batch, sizes))
+            feats = np.asarray(encode(model.params, jnp.asarray(batch),
+                                      jnp.asarray(sizes)), np.float32)
+            for i, f in enumerate(chunk):
+                writer.write(f.stem, feats[i:i + 1], orig_sizes[i],
+                             tuple(int(v) for v in np.asarray(sizes)[i]))

@@ -1,0 +1,74 @@
+"""Random affine augmentation (reference unet_training/forward_func.py:37-42).
+
+θ = I + N(0, 1)·strength per sample; the warp reproduces torch
+``affine_grid``/``grid_sample`` with ``align_corners=False``, bilinear for
+images, nearest for label masks, zero padding.  Pure jnp — fuses into the
+jitted train step instead of running as a separate no-grad pass."""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def affine_grid(theta: jnp.ndarray, hw: Tuple[int, int]) -> jnp.ndarray:
+    """theta: (N, 2, 3) -> normalised sampling grid (N, H, W, 2) in xy order
+    (torch F.affine_grid, align_corners=False)."""
+    h, w = hw
+    x = (jnp.arange(w, dtype=jnp.float32) + 0.5) * 2 / w - 1
+    y = (jnp.arange(h, dtype=jnp.float32) + 0.5) * 2 / h - 1
+    xx, yy = jnp.meshgrid(x, y, indexing="xy")
+    base = jnp.stack([xx, yy, jnp.ones_like(xx)], axis=-1)  # (H, W, 3)
+    return jnp.einsum("nij,hwj->nhwi", theta, base)
+
+
+def grid_sample(x: jnp.ndarray, grid: jnp.ndarray, mode: str = "bilinear") -> jnp.ndarray:
+    """x: (N, C, H, W); grid: (N, H', W', 2) normalised xy.  Zero padding,
+    align_corners=False (torch F.grid_sample semantics)."""
+    n, c, h, w = x.shape
+    gx = (grid[..., 0] + 1) * w / 2 - 0.5
+    gy = (grid[..., 1] + 1) * h / 2 - 0.5
+
+    def gather(img, yi, xi):
+        """img: (C, H, W); zero outside bounds."""
+        valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+        yc = jnp.clip(yi, 0, h - 1)
+        xc = jnp.clip(xi, 0, w - 1)
+        vals = img[:, yc, xc]  # (C, H', W')
+        return vals * valid[None]
+
+    if mode == "nearest":
+        yi = jnp.round(gy).astype(jnp.int32)
+        xi = jnp.round(gx).astype(jnp.int32)
+        return jax.vmap(gather)(x, yi, xi)
+
+    x0 = jnp.floor(gx)
+    y0 = jnp.floor(gy)
+    fx = gx - x0
+    fy = gy - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    def bilerp(img, y0i, x0i, fy, fx):
+        g = lambda yi, xi: gather(img, yi, xi)
+        v00 = g(y0i, x0i)
+        v01 = g(y0i, x0i + 1)
+        v10 = g(y0i + 1, x0i)
+        v11 = g(y0i + 1, x0i + 1)
+        return (v00 * (1 - fy) * (1 - fx) + v01 * (1 - fy) * fx
+                + v10 * fy * (1 - fx) + v11 * fy * fx)
+
+    return jax.vmap(bilerp)(x, y0i, x0i, fy, fx)
+
+
+def random_affine(key, x: jnp.ndarray, y: jnp.ndarray, strength: float):
+    """Apply the reference's augmentation: one random affine per sample,
+    bilinear on images, nearest on masks (forward_func.py:37-42)."""
+    n = x.shape[0]
+    theta = (jnp.eye(2, 3)[None]
+             + jax.random.normal(key, (n, 2, 3)) * strength)
+    grid = affine_grid(theta, x.shape[-2:])
+    return grid_sample(x, grid, "bilinear"), grid_sample(y, grid, "nearest")

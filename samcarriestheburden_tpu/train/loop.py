@@ -1,0 +1,204 @@
+"""U-Net training loops (reference unet_training/{forward_func,training,
+training_on_pseudo_labels}.py).
+
+Reference semantics preserved: bootstrap sampling with replacement
+(training.py:41-42), per-class pos-weighted BCE-with-logits
+(forward_func.py:44-46), random affine augmentation fused into the jitted
+train step, AdamW + per-epoch cosine annealing to lr/100 (training.py:55-56),
+per-epoch train/val BCE + NaN-aware Dice scalars and per-class histograms.
+
+TPU-native: one jitted train step (normalise → augment → forward → loss →
+grad → update) per batch shape; batches are sharded over the mesh's 'data'
+axis and XLA inserts the gradient psum."""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from samcarriestheburden_tpu.config import (
+    GRAZ_IMG_MEAN, GRAZ_IMG_STD, POS_CLASS_WEIGHT, TrainConfig, UNetConfig)
+from samcarriestheburden_tpu.models import unet
+from samcarriestheburden_tpu.ops.dice import multilabel_dice
+from samcarriestheburden_tpu.parallel import mesh as pmesh
+from samcarriestheburden_tpu.train.augment import random_affine
+
+
+def bce_with_logits(logits: jnp.ndarray, targets: jnp.ndarray,
+                    pos_weight: jnp.ndarray) -> jnp.ndarray:
+    """torch BCEWithLogitsLoss(pos_weight=w) — mean of
+    w·y·softplus(−x) + (1−y)·(x + softplus(−x)), numerically stable."""
+    sp = jax.nn.softplus(-logits)
+    loss = pos_weight * targets * sp + (1 - targets) * (logits + sp)
+    return jnp.mean(loss)
+
+
+def cosine_lr(epoch: jnp.ndarray, base_lr: float, epochs: int,
+              eta_min: float) -> jnp.ndarray:
+    """torch CosineAnnealingLR stepped per epoch (training.py:56)."""
+    return eta_min + (base_lr - eta_min) * (1 + jnp.cos(jnp.pi * epoch / epochs)) / 2
+
+
+@dataclass
+class TrainState:
+    params: dict
+    opt_state: optax.OptState
+    epoch: int = 0
+
+
+class UNetTrainer:
+    def __init__(self, unet_cfg: UNetConfig, train_cfg: TrainConfig,
+                 init_params: Optional[dict] = None, mesh=None):
+        self.unet_cfg = unet_cfg
+        self.cfg = train_cfg
+        self.mesh = mesh
+        key = jax.random.PRNGKey(train_cfg.seed)
+        params = init_params if init_params is not None \
+            else unet.init(key, unet_cfg)
+        if mesh is not None:
+            params = pmesh.replicate(mesh, params)
+
+        eta_min = train_cfg.lr / 100
+        self.optimizer = optax.inject_hyperparams(optax.adamw)(
+            learning_rate=train_cfg.lr, b1=0.9, b2=0.999, eps=1e-8,
+            weight_decay=train_cfg.weight_decay)
+        self.state = TrainState(params=params,
+                                opt_state=self.optimizer.init(params))
+        self._eta_min = eta_min
+        nclass = unet_cfg.n_classes
+        w = np.asarray(POS_CLASS_WEIGHT[:nclass], np.float32) \
+            if nclass <= len(POS_CLASS_WEIGHT) else np.ones(nclass, np.float32)
+        self.pos_weight = jnp.asarray(w).reshape(-1, 1, 1)
+
+        self._train_step = jax.jit(self._train_step_impl)
+        self._eval_step = jax.jit(self._eval_step_impl)
+
+    # ------------------------------------------------------------------
+
+    def _forward_loss(self, params, x, y, w, key, data_aug):
+        """``w`` (B,) marks real vs padded samples (mesh-divisibility padding);
+        the weighted mean equals torch's all-element mean on real data."""
+        x = (x - GRAZ_IMG_MEAN) / GRAZ_IMG_STD
+        if data_aug > 0:
+            x, y = random_affine(key, x, y, data_aug)
+        logits = unet.apply(params, self.unet_cfg, x)
+        sp = jax.nn.softplus(-logits)
+        per_elem = self.pos_weight * y * sp + (1 - y) * (logits + sp)
+        per_sample = jnp.mean(per_elem, axis=(1, 2, 3))
+        loss = jnp.sum(per_sample * w) / jnp.sum(w)
+        return loss, (logits, y)
+
+    def _train_step_impl(self, params, opt_state, x, y, w, key, lr):
+        (loss, (logits, y_aug)), grads = jax.value_and_grad(
+            self._forward_loss, has_aux=True)(params, x, y, w, key,
+                                              self.cfg.data_aug)
+        opt_state.hyperparams["learning_rate"] = lr
+        updates, opt_state = self.optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        dice = multilabel_dice(jax.nn.sigmoid(logits) > 0.5, y_aug > 0.5)
+        return params, opt_state, loss, dice
+
+    def _eval_step_impl(self, params, x, y, w):
+        loss, (logits, y_out) = self._forward_loss(params, x, y, w, None, 0.0)
+        dice = multilabel_dice(jax.nn.sigmoid(logits) > 0.5, y_out > 0.5)
+        return loss, dice
+
+    # ------------------------------------------------------------------
+
+    def _iter_batches(self, x, y, batch_size):
+        n_dev = 1 if self.mesh is None else self.mesh.devices.size
+        for i in range(0, len(x), batch_size):
+            xb, yb = x[i:i + batch_size], y[i:i + batch_size]
+            xb, n_valid = pmesh.pad_to_multiple(np.asarray(xb), n_dev)
+            yb, _ = pmesh.pad_to_multiple(np.asarray(yb), n_dev)
+            w = (np.arange(len(xb)) < n_valid).astype(np.float32)
+            if self.mesh is not None:
+                xb, yb, w = pmesh.shard_batch(
+                    self.mesh, (jnp.asarray(xb), jnp.asarray(yb), jnp.asarray(w)))
+            yield jnp.asarray(xb), jnp.asarray(yb), jnp.asarray(w), int(n_valid)
+
+    def train_epoch(self, x: np.ndarray, y: np.ndarray, epoch: int,
+                    rng: np.random.Generator) -> Tuple[float, np.ndarray]:
+        """One epoch: bootstrap-sample ``data_sample_per_epoch`` items with
+        replacement (reference RandomSampler(replacement=True), training.py:41-42)."""
+        cfg = self.cfg
+        if cfg.sample_mode == "bootstrap":
+            idx = rng.integers(0, len(x), cfg.data_sample_per_epoch)
+        else:  # shuffled full epoch, drop_last (pseudo-label training)
+            idx = rng.permutation(len(x))
+            idx = idx[: (len(idx) // cfg.batch_size) * cfg.batch_size]
+        lr = cosine_lr(jnp.asarray(epoch, jnp.float32), cfg.lr, cfg.epochs,
+                       self._eta_min) if cfg.lr_scheduler else jnp.asarray(cfg.lr)
+        losses, dices = [], []
+        key = jax.random.PRNGKey(cfg.seed * 100003 + epoch)
+        for step, (xb, yb, w, n_valid) in enumerate(
+                self._iter_batches(x[idx], y[idx], cfg.batch_size)):
+            key, sub = jax.random.split(key)
+            self.state.params, self.state.opt_state, loss, dice = self._train_step(
+                self.state.params, self.state.opt_state, xb, yb, w, sub, lr)
+            losses.append(float(loss))
+            dices.append(np.asarray(dice)[:n_valid])
+        self.state.epoch = epoch + 1
+        return float(np.mean(losses)), np.concatenate(dices)
+
+    def evaluate(self, x: np.ndarray, y: np.ndarray) -> Tuple[float, np.ndarray]:
+        losses, dices = [], []
+        for xb, yb, w, n_valid in self._iter_batches(x, y, self.cfg.infer_batch_size):
+            loss, dice = self._eval_step(self.state.params, xb, yb, w)
+            losses.append(float(loss))
+            dices.append(np.asarray(dice)[:n_valid])
+        return float(np.mean(losses)), np.concatenate(dices)
+
+    @property
+    def current_lr(self) -> float:
+        e = self.state.epoch
+        if not self.cfg.lr_scheduler:
+            return self.cfg.lr
+        return float(cosine_lr(jnp.asarray(e, jnp.float32), self.cfg.lr,
+                               self.cfg.epochs, self._eta_min))
+
+
+def train_unet(train_data, val_data, unet_cfg: UNetConfig, train_cfg: TrainConfig,
+               logger=None, bone_labels=None, init_params=None, mesh=None,
+               progress: bool = False) -> Tuple[dict, List[Dict]]:
+    """Full training driver (reference training.py:64-72).
+
+    train_data/val_data: (images (N,1,H,W) f32 in [0,1], masks (N,C,H,W) f32).
+    Returns (params, per-epoch history).
+    """
+    trainer = UNetTrainer(unet_cfg, train_cfg, init_params=init_params, mesh=mesh)
+    rng = np.random.default_rng(train_cfg.seed)
+    x_tr, y_tr = train_data
+    x_va, y_va = val_data
+    history = []
+    epochs = range(train_cfg.epochs)
+    if progress:
+        from tqdm import trange
+        epochs = trange(train_cfg.epochs, desc="training")
+    for epoch in epochs:
+        tr_loss, tr_dice = trainer.train_epoch(x_tr, y_tr, epoch, rng)
+        va_loss, va_dice = trainer.evaluate(x_va, y_va)
+        rec = {"epoch": epoch, "train_bce": tr_loss,
+               "train_dice": float(np.nanmean(tr_dice)),
+               "val_bce": va_loss, "val_dice": float(np.nanmean(va_dice)),
+               "lr": trainer.current_lr}
+        history.append(rec)
+        if logger is not None:
+            logger.report_scalar("BCE", "train", tr_loss, epoch)
+            logger.report_scalar("Dice", "train", rec["train_dice"], epoch)
+            logger.report_scalar("BCE", "val", va_loss, epoch)
+            logger.report_scalar("Dice", "val", rec["val_dice"], epoch)
+            if train_cfg.lr_scheduler:
+                logger.report_scalar("Learning rate", "lr", rec["lr"], epoch)
+            logger.report_histogram("Dice", "val", epoch,
+                                    np.nanmean(va_dice, axis=0),
+                                    xlabels=bone_labels, xaxis="class",
+                                    yaxis="dice")
+    return trainer.state.params, history

@@ -25,3 +25,51 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture
+def data_root(tmp_path):
+    """Synthetic GrazPedWri-style data root matching the reference's file
+    conventions (dataset.csv, pre-flipped PNGs, CVAT XML splits, CSVs)."""
+    import cv2
+    import pandas as pd
+
+    root = tmp_path / "data"
+    (root / "img_only_front_all_left").mkdir(parents=True)
+    (root / "cvat_annotation_xml").mkdir()
+    rng = np.random.default_rng(0)
+
+    stems = [f"img{i:03d}" for i in range(6)]
+    for s in stems:
+        img = rng.integers(0, 255, (200, 120)).astype(np.uint8)
+        cv2.imwrite(str(root / "img_only_front_all_left" / f"{s}.png"), img)
+
+    pd.DataFrame({
+        "filestem": stems,
+        "projection": [1, 1, 1, 1, 0, 1],  # img004 is lateral -> excluded
+        "lateralproj": [0] * 6,
+        "laterality": ["L", "R", "L", "L", "L", "L"],
+    }).set_index("filestem").to_csv(root / "dataset.csv")
+
+    def img_el(i, s):
+        return f'''  <image id="{i}" name="{s}.png" width="120" height="200">
+    <polygon label="Knochen" points="10.0,20.0;60.0,20.0;60.0,90.0;10.0,90.0" z_order="0">
+      <attribute name="Anatomie">Radius</attribute>
+    </polygon>
+    <mask label="Knochen" top="100" left="30" width="4" height="2" rle="1,6,1" z_order="0">
+      <attribute name="Anatomie">Ulna</attribute>
+    </mask>
+  </image>'''
+
+    xml = ('<?xml version="1.0" encoding="utf-8"?>\n<annotations>\n'
+           + "\n".join(img_el(i, s) for i, s in enumerate(stems[:3]))
+           + "\n</annotations>")
+    (root / "cvat_annotation_xml" / "annotations_train1.xml").write_text(xml)
+    val_xml = ('<?xml version="1.0" encoding="utf-8"?>\n<annotations>\n'
+               + img_el(0, stems[3]) + "\n</annotations>")
+    (root / "cvat_annotation_xml" / "annotations_val.xml").write_text(val_xml)
+
+    pd.DataFrame({"file_stem": stems[:3]}).to_csv(
+        root / "successively_training_files_order.csv")
+    pd.DataFrame({"filestem": [stems[5]]}).to_csv(root / "500unlabeled_sample.csv")
+    return root

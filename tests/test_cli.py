@@ -1,0 +1,84 @@
+"""CLI smoke tests: --help on every entry point + a miniature end-to-end
+train → save_segmentations pipeline over the synthetic data root."""
+
+import contextlib
+import io
+import os
+
+import numpy as np
+import pytest
+
+
+CLI_MODULES = [
+    "train", "train_on_pseudo_labels", "generate_img_embeddings",
+    "save_segmentations", "save_refined_segmentations", "amg",
+    "export_decoder", "copy_and_process_imgs",
+    "define_successively_data_subsets", "sanity_check_saved_segmentation",
+]
+
+
+@pytest.mark.parametrize("name", CLI_MODULES)
+def test_cli_help(name):
+    import importlib
+
+    mod = importlib.import_module(f"samcarriestheburden_tpu.cli.{name}")
+    buf = io.StringIO()
+    with pytest.raises(SystemExit) as exc, contextlib.redirect_stdout(buf):
+        mod.main(["--help"])
+    assert exc.value.code == 0
+    assert "usage" in buf.getvalue().lower()
+
+
+@pytest.fixture
+def in_data_root(data_root, monkeypatch):
+    monkeypatch.chdir(data_root.parent)
+    return data_root
+
+
+def test_train_and_save_segmentations_pipeline(in_data_root):
+    from samcarriestheburden_tpu.cli import save_segmentations, train
+    from samcarriestheburden_tpu.data.h5io import MaskReader
+
+    model_id = train.main(["--epochs", "2", "--data_sample_per_epoch", "4",
+                           "--batch_size", "2", "--n_last_channel", "4",
+                           "--data_aug", "0"])
+    assert isinstance(model_id, str) and len(model_id) == 32
+    assert (in_data_root / "model_registry" / model_id / "model.npz").exists()
+
+    save_segmentations.main(["--model_id", model_id, "--n_files", "500"])
+    out = in_data_root / "seg_masks" / model_id / "raw_segmentations_500.h5"
+    assert out.exists()
+    reader = MaskReader(out)
+    assert reader.stems() == ["img005"]
+    assert reader.masks("img005").shape == (17, 384, 224)
+
+
+def test_define_successively_subsets(in_data_root):
+    # synthetic annotations only cover 2 of 17 classes -> must refuse
+    from samcarriestheburden_tpu.cli import define_successively_data_subsets as d
+
+    with pytest.raises(AssertionError):
+        d.main([])
+
+
+def test_registry_roundtrip(tmp_path):
+    import jax
+
+    from samcarriestheburden_tpu.config import UNetConfig
+    from samcarriestheburden_tpu.models import unet
+    from samcarriestheburden_tpu.models.modelio import ModelRegistry, load_model
+
+    cfg = UNetConfig(n_classes=3, base_channels=4, n_last_channel=4)
+    params = unet.init(jax.random.PRNGKey(0), cfg)
+    reg = ModelRegistry(tmp_path / "registry")
+    mid = reg.register(cfg, params, name="m", metadata={"k": 1})
+    cfg2, params2 = reg.load(mid)
+    assert cfg2 == cfg
+    flat = jax.tree.leaves(params)
+    flat2 = jax.tree.leaves(params2)
+    assert all(np.allclose(a, b) for a, b in zip(flat, flat2))
+    # same weights -> same content hash
+    assert reg.register(cfg, params) == mid
+    with pytest.raises(KeyError):
+        reg.get_weights("nope")
+    assert any(r["id"] == mid for r in reg.list())

@@ -1,0 +1,119 @@
+"""Embedding precompute pipeline + StableHLO export round-trip."""
+
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from samcarriestheburden_tpu.config import sam_vit_t_config
+from samcarriestheburden_tpu.data.h5io import EmbeddingReader
+from samcarriestheburden_tpu.engine.embeddings import precompute_embeddings
+from samcarriestheburden_tpu.engine.predictor import SamPredictor
+from samcarriestheburden_tpu.models import convert
+from samcarriestheburden_tpu.models.sam import SamModel
+
+GOLDEN = Path(__file__).parent / "golden"
+
+
+@pytest.fixture(scope="module")
+def model():
+    data = np.load(GOLDEN / "sam_e2e.npz")
+    sd = {k[3:]: data[k] for k in data.files if k.startswith("sd/")}
+    return SamModel(cfg=sam_vit_t_config(),
+                    params=convert.sam_params_from_torch(sd, sam_vit_t_config()))
+
+
+def _write_pngs(tmp_path, n=3):
+    import cv2
+
+    rng = np.random.default_rng(0)
+    files = []
+    for i in range(n):
+        img = rng.integers(0, 255, (180 + 10 * i, 140)).astype(np.uint8)
+        f = tmp_path / f"img{i}.png"
+        cv2.imwrite(str(f), img)
+        files.append(f)
+    return files
+
+
+def test_precompute_matches_predictor(model, tmp_path):
+    files = _write_pngs(tmp_path)
+    out = tmp_path / "emb.h5"
+    precompute_embeddings(model, files, out, "tiny.pth", batch_size=2,
+                          dtype=jnp.float32, progress=False)
+    reader = EmbeddingReader(out)
+    assert sorted(reader.stems()) == [f.stem for f in files]
+    assert reader.checkpoint == "tiny.pth"
+    assert reader.img_encoder_img_size == model.img_size
+
+    import cv2
+
+    img = cv2.cvtColor(cv2.imread(str(files[0]), cv2.IMREAD_GRAYSCALE),
+                       cv2.COLOR_GRAY2RGB)
+    pred = SamPredictor(model)
+    pred.set_image(img)
+    direct = np.asarray(pred.get_image_embedding())
+    stored = reader.features(files[0].stem)
+    np.testing.assert_allclose(stored, direct, atol=1e-4)
+
+    orig, inp = reader.sizes(files[0].stem)
+    assert tuple(orig) == (180, 140)
+    assert tuple(inp) == pred.input_size
+
+
+def test_precompute_sharded_on_mesh(model, tmp_path):
+    from samcarriestheburden_tpu.parallel.mesh import make_mesh
+
+    files = _write_pngs(tmp_path, n=4)
+    out = tmp_path / "emb_mesh.h5"
+    precompute_embeddings(model, files, out, "tiny.pth", batch_size=8,
+                          dtype=jnp.float32, mesh=make_mesh(8), progress=False)
+    reader = EmbeddingReader(out)
+    assert len(reader.stems()) == 4
+
+
+def test_export_roundtrip(model, tmp_path):
+    from samcarriestheburden_tpu.export.stablehlo import (
+        export_decoder, load_exported, make_decoder_fn)
+
+    path = export_decoder(model, tmp_path / "dec.stablehlo",
+                          return_single_mask=True, batch=1, num_points=2)
+    assert path.stat().st_size > 1000
+    exported = load_exported(path)
+    rng = np.random.default_rng(0)
+    args = (
+        rng.standard_normal((1, 16, 8, 8)).astype(np.float32),
+        rng.uniform(0, 128, (1, 2, 2)).astype(np.float32),
+        np.ones((1, 2), np.int32),
+        np.zeros((1, 1, 32, 32), np.float32),
+        np.zeros((1,), np.float32),
+        np.asarray([600, 800], np.int32),
+    )
+    outs = exported.call(*args)
+    fn = make_decoder_fn(model, return_single_mask=True)
+    ref = fn(model.params, *map(jnp.asarray, args))
+    for o, r in zip(outs, ref):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r), atol=1e-4)
+    upscaled, prepadded, scores, masks = [np.asarray(o) for o in outs]
+    assert upscaled.shape == (1, 1, 128, 128)
+    assert prepadded.tolist() == [96, 128]  # 600x800 -> longest side 128
+    assert masks.shape == (1, 1, 32, 32)
+
+
+def test_export_symbolic_shapes(model, tmp_path):
+    from samcarriestheburden_tpu.export.stablehlo import export_decoder, load_exported
+
+    path = export_decoder(model, tmp_path / "dec_sym.stablehlo",
+                          return_single_mask=False)
+    exported = load_exported(path)
+    rng = np.random.default_rng(0)
+    for b, n in [(1, 2), (3, 5)]:
+        outs = exported.call(
+            rng.standard_normal((1, 16, 8, 8)).astype(np.float32),
+            rng.uniform(0, 128, (b, n, 2)).astype(np.float32),
+            np.ones((b, n), np.int32),
+            np.zeros((b, 1, 32, 32), np.float32),
+            np.zeros((b,), np.float32),
+            np.asarray([600, 800], np.int32))
+        assert np.asarray(outs[0]).shape == (b, 4, 128, 128)

@@ -1,0 +1,103 @@
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from samcarriestheburden_tpu.config import TrainConfig, UNetConfig
+from samcarriestheburden_tpu.train.augment import affine_grid, grid_sample
+from samcarriestheburden_tpu.train.logging import RunLogger
+from samcarriestheburden_tpu.train.loop import (
+    UNetTrainer, bce_with_logits, cosine_lr, train_unet)
+
+
+def test_affine_grid_matches_torch(rng):
+    theta = (np.eye(2, 3)[None] + rng.standard_normal((4, 2, 3)) * 0.05).astype(np.float32)
+    ours = np.asarray(affine_grid(theta, (13, 9)))
+    theirs = F.affine_grid(torch.from_numpy(theta), (4, 1, 13, 9),
+                           align_corners=False).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=1e-6)
+
+
+@pytest.mark.parametrize("mode", ["bilinear", "nearest"])
+def test_grid_sample_matches_torch(rng, mode):
+    x = rng.standard_normal((2, 3, 16, 12)).astype(np.float32)
+    theta = (np.eye(2, 3)[None] + rng.standard_normal((2, 2, 3)) * 0.1).astype(np.float32)
+    grid_t = F.affine_grid(torch.from_numpy(theta), (2, 3, 16, 12), align_corners=False)
+    ours = np.asarray(grid_sample(x, np.asarray(grid_t.numpy()), mode))
+    theirs = F.grid_sample(torch.from_numpy(x), grid_t, mode=mode,
+                           align_corners=False).numpy()
+    if mode == "nearest":
+        # rounding of exact .5 coordinates may differ (banker's vs away);
+        # require near-total agreement
+        assert (np.isclose(ours, theirs, atol=1e-6)).mean() > 0.99
+    else:
+        np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+
+def test_bce_matches_torch(rng):
+    logits = rng.standard_normal((2, 3, 8, 8)).astype(np.float32)
+    targets = (rng.random((2, 3, 8, 8)) > 0.5).astype(np.float32)
+    w = np.asarray([1.0, 5.0, 0.5], np.float32)
+    ours = float(bce_with_logits(logits, targets, w.reshape(-1, 1, 1)))
+    theirs = float(F.binary_cross_entropy_with_logits(
+        torch.from_numpy(logits), torch.from_numpy(targets),
+        pos_weight=torch.from_numpy(w).view(-1, 1, 1)))
+    np.testing.assert_allclose(ours, theirs, rtol=1e-5)
+
+
+def test_cosine_lr_matches_torch_schedule():
+    lr0, epochs = 1e-3, 350
+    eta_min = lr0 / 100
+    for epoch in [0, 1, 100, 349, 350]:
+        ours = float(cosine_lr(np.float32(epoch), lr0, epochs, eta_min))
+        theirs = eta_min + (lr0 - eta_min) * (1 + np.cos(np.pi * epoch / epochs)) / 2
+        np.testing.assert_allclose(ours, theirs, rtol=1e-6)
+
+
+def _toy_data(rng, n=8, c=3, hw=(32, 32)):
+    x = rng.random((n, 1, *hw)).astype(np.float32)
+    y = np.zeros((n, c, *hw), np.float32)
+    for i in range(n):
+        # mask depends on the image so the task is learnable
+        y[i, i % c] = (x[i, 0] > 0.5).astype(np.float32)
+    return x, y
+
+
+def test_training_loss_decreases(rng):
+    x, y = _toy_data(rng)
+    cfg = TrainConfig(epochs=8, batch_size=4, data_sample_per_epoch=8,
+                      data_aug=0.0, lr=3e-3)
+    ucfg = UNetConfig(n_channels=1, n_classes=3, base_channels=4, n_last_channel=4)
+    params, history = train_unet((x, y), (x, y), ucfg, cfg)
+    assert history[-1]["val_bce"] < history[0]["val_bce"]
+    assert np.isfinite(history[-1]["val_dice"])
+
+
+def test_training_with_augmentation_runs(rng):
+    x, y = _toy_data(rng, n=4)
+    cfg = TrainConfig(epochs=2, batch_size=4, data_sample_per_epoch=4, data_aug=0.03)
+    ucfg = UNetConfig(n_channels=1, n_classes=3, base_channels=4, n_last_channel=4)
+    params, history = train_unet((x, y), (x, y), ucfg, cfg)
+    assert len(history) == 2 and np.isfinite(history[-1]["train_bce"])
+
+
+def test_data_parallel_training(rng):
+    """Batch sharded over the 8-device CPU mesh; grads psum'd by XLA."""
+    from samcarriestheburden_tpu.parallel import mesh as pmesh
+
+    mesh = pmesh.make_mesh(8)
+    x, y = _toy_data(rng, n=16)
+    cfg = TrainConfig(epochs=2, batch_size=16, data_sample_per_epoch=16, data_aug=0.0)
+    ucfg = UNetConfig(n_channels=1, n_classes=3, base_channels=4, n_last_channel=4)
+    params, history = train_unet((x, y), (x, y), ucfg, cfg, mesh=mesh)
+    assert np.isfinite(history[-1]["val_bce"])
+
+
+def test_logger(tmp_path):
+    log = RunLogger("proj", "task", tags=["a"], root=tmp_path)
+    log.report_scalar("BCE", "train", 0.5, 0)
+    log.report_scalar("BCE", "train", 0.4, 1)
+    log.report_histogram("Dice", "val", 0, [0.1, float("nan")], xlabels=["a", "b"])
+    recs = log.scalars()
+    assert len(recs) == 2 and recs[1]["value"] == 0.4
+    log.close()
