@@ -1,0 +1,265 @@
+"""Optuna-compatible HPO core (replaces the reference's optuna dependency,
+seg_processing/*.py).
+
+Implements the API surface the reference studies use — ``create_study``,
+``Trial.suggest_{categorical,int,float}``, ``GridSampler``, a TPE-style
+adaptive sampler, ``study.optimize(..., catch=...)``, best_params/best_value —
+with JSON persistence instead of joblib pickles."""
+
+from __future__ import annotations
+
+import itertools
+import json
+import math
+import random as _random
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+
+@dataclass
+class FrozenTrial:
+    number: int
+    params: Dict[str, Any]
+    value: Optional[float]
+    state: str  # 'complete' | 'failed'
+    user_attrs: Dict[str, Any] = field(default_factory=dict)
+    duration: float = 0.0
+
+
+class Trial:
+    def __init__(self, study: "Study", number: int,
+                 preset: Optional[Dict[str, Any]] = None):
+        self.study = study
+        self.number = number
+        self.params: Dict[str, Any] = {}
+        self.user_attrs: Dict[str, Any] = {}
+        self._preset = preset or {}
+
+    # -- suggest API ----------------------------------------------------
+
+    def _suggest(self, name: str, spec: Tuple, draw: Callable[[], Any]):
+        if name in self.params:
+            return self.params[name]
+        self.study._register_space(name, spec)
+        if name in self._preset:
+            value = self._preset[name]
+        else:
+            value = self.study.sampler.sample(self.study, name, spec, draw)
+        self.params[name] = value
+        return value
+
+    def suggest_categorical(self, name: str, choices: Sequence):
+        choices = list(choices)
+        return self._suggest(name, ("categorical", tuple(choices)),
+                             lambda: self.study._rng.choice(choices))
+
+    def suggest_int(self, name: str, low: int, high: int):
+        return self._suggest(name, ("int", low, high),
+                             lambda: self.study._rng.randint(low, high))
+
+    def suggest_float(self, name: str, low: float, high: float, log: bool = False):
+        def draw():
+            if log:
+                return math.exp(self.study._rng.uniform(math.log(low), math.log(high)))
+            return self.study._rng.uniform(low, high)
+
+        return self._suggest(name, ("float", low, high, log), draw)
+
+    def set_user_attr(self, key: str, value) -> None:
+        self.user_attrs[key] = value
+
+
+# ---------------------------------------------------------------------------
+# samplers
+# ---------------------------------------------------------------------------
+
+
+class RandomSampler:
+    def sample(self, study, name, spec, draw):
+        return draw()
+
+
+class GridSampler:
+    """Exhaustive cartesian grid over an explicit search space
+    (optuna.samplers.GridSampler semantics, reference
+    hpo_bce_unet_sam_postprocess.py:72-80)."""
+
+    def __init__(self, search_space: Dict[str, Sequence]):
+        self.search_space = {k: list(v) for k, v in search_space.items()}
+        keys = list(self.search_space)
+        self.grid = [dict(zip(keys, combo))
+                     for combo in itertools.product(*self.search_space.values())]
+
+    def __len__(self):
+        return len(self.grid)
+
+    def preset_for(self, trial_number: int) -> Optional[Dict[str, Any]]:
+        if trial_number >= len(self.grid):
+            return None
+        return self.grid[trial_number]
+
+    def sample(self, study, name, spec, draw):  # only hit for params outside the grid
+        return draw()
+
+
+class TPESampler:
+    """Lightweight tree-structured-Parzen-style sampler: after
+    ``n_startup_trials`` random trials, draw candidates and prefer values that
+    resemble the top-``gamma`` quantile of completed trials."""
+
+    def __init__(self, n_startup_trials: int = 10, gamma: float = 0.25,
+                 n_candidates: int = 24):
+        self.n_startup = n_startup_trials
+        self.gamma = gamma
+        self.n_candidates = n_candidates
+
+    def sample(self, study, name, spec, draw):
+        complete = [t for t in study.trials
+                    if t.state == "complete" and name in t.params]
+        if len(complete) < self.n_startup:
+            return draw()
+        ordered = sorted(complete, key=lambda t: t.value,
+                         reverse=study.direction == "maximize")
+        n_good = max(1, int(len(ordered) * self.gamma))
+        good = [t.params[name] for t in ordered[:n_good]]
+        bad = [t.params[name] for t in ordered[n_good:]] or good
+
+        kind = spec[0]
+        if kind == "categorical":
+            # probability ratio of appearing in good vs bad, with smoothing
+            choices = list(spec[1])
+            def score_cat(c):
+                pg = (good.count(c) + 1) / (len(good) + len(choices))
+                pb = (bad.count(c) + 1) / (len(bad) + len(choices))
+                return pg / pb
+            weights = [score_cat(c) for c in choices]
+            total = sum(weights)
+            r = study._rng.uniform(0, total)
+            acc = 0.0
+            for c, w in zip(choices, weights):
+                acc += w
+                if r <= acc:
+                    return c
+            return choices[-1]
+
+        # numeric: candidates from gaussians around good values; score by
+        # good-KDE / bad-KDE likelihood ratio
+        lo, hi = spec[1], spec[2]
+        span = (hi - lo) or 1.0
+        bw = max(span * 0.1, 1e-9)
+
+        def kde(vals, x):
+            return sum(math.exp(-((x - v) ** 2) / (2 * bw * bw)) for v in vals) \
+                / (len(vals) * bw) + 1e-12
+
+        best_x, best_score = None, -math.inf
+        for _ in range(self.n_candidates):
+            center = good[study._rng.randrange(len(good))]
+            x = study._rng.gauss(center, bw)
+            x = min(max(x, lo), hi)
+            if kind == "int":
+                x = int(round(x))
+            s = kde(good, x) / kde(bad, x)
+            if s > best_score:
+                best_x, best_score = x, s
+        return best_x
+
+
+# ---------------------------------------------------------------------------
+# study
+# ---------------------------------------------------------------------------
+
+
+class Study:
+    def __init__(self, direction: str = "maximize", study_name: str = "study",
+                 sampler=None, seed: int = 0):
+        assert direction in ("maximize", "minimize")
+        self.direction = direction
+        self.study_name = study_name
+        self.sampler = sampler or TPESampler()
+        self.trials: List[FrozenTrial] = []
+        self.user_attrs: Dict[str, Any] = {}
+        self.search_space: Dict[str, Tuple] = {}
+        self._rng = _random.Random(seed)
+
+    def _register_space(self, name, spec):
+        self.search_space.setdefault(name, spec)
+
+    def set_user_attr(self, key, value):
+        self.user_attrs[key] = value
+
+    def optimize(self, objective: Callable[[Trial], float],
+                 n_trials: float = 200, catch: Tuple = (),
+                 callbacks: Sequence[Callable] = (), show_progress: bool = False):
+        if not isinstance(catch, tuple):
+            catch = (catch,)
+        grid = self.sampler if isinstance(self.sampler, GridSampler) else None
+        limit = n_trials if n_trials != float("inf") else \
+            (len(grid) if grid else 200)
+        n = 0
+        while n < limit:
+            number = len(self.trials)
+            preset = grid.preset_for(number) if grid else None
+            if grid and preset is None:
+                break  # grid exhausted
+            trial = Trial(self, number, preset)
+            t0 = time.time()
+            try:
+                value = float(objective(trial))
+                state = "complete"
+            except catch as e:  # reference catches ValueError (rndwalk study)
+                value, state = None, "failed"
+            self.trials.append(FrozenTrial(number, trial.params, value, state,
+                                           trial.user_attrs, time.time() - t0))
+            for cb in callbacks:
+                cb(self, self.trials[-1])
+            if show_progress:
+                print(f"trial {number}: value={value} params={trial.params}")
+            n += 1
+        return self
+
+    @property
+    def best_trial(self) -> FrozenTrial:
+        complete = [t for t in self.trials if t.state == "complete"]
+        if not complete:
+            raise ValueError("no completed trials")
+        key = (lambda t: t.value) if self.direction == "maximize" else (lambda t: -t.value)
+        return max(complete, key=key)
+
+    @property
+    def best_params(self) -> Dict[str, Any]:
+        return self.best_trial.params
+
+    @property
+    def best_value(self) -> float:
+        return self.best_trial.value
+
+    # -- persistence ----------------------------------------------------
+
+    def save(self, path) -> Path:
+        path = Path(path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        payload = {
+            "study_name": self.study_name,
+            "direction": self.direction,
+            "user_attrs": self.user_attrs,
+            "trials": [vars(t) for t in self.trials],
+        }
+        path.write_text(json.dumps(payload, indent=2, default=str))
+        return path
+
+    @classmethod
+    def load(cls, path) -> "Study":
+        payload = json.loads(Path(path).read_text())
+        study = cls(direction=payload["direction"],
+                    study_name=payload["study_name"])
+        study.user_attrs = payload["user_attrs"]
+        study.trials = [FrozenTrial(**t) for t in payload["trials"]]
+        return study
+
+
+def create_study(direction: str = "maximize", study_name: str = "study",
+                 sampler=None, seed: int = 0) -> Study:
+    return Study(direction, study_name, sampler, seed)

@@ -135,21 +135,30 @@ def add_decomposed_rel_pos(attn: jnp.ndarray, q: jnp.ndarray,
                            rel_pos_h: jnp.ndarray, rel_pos_w: jnp.ndarray,
                            q_size: Tuple[int, int], k_size: Tuple[int, int]) -> jnp.ndarray:
     """attn: (B, q_h·q_w, k_h·k_w) fp32; q: (B, q_h·q_w, head_dim).
-    Matches reference add_decomposed_rel_pos (image_encoder.py:325-361)."""
+    Matches reference add_decomposed_rel_pos (image_encoder.py:325-361).
+
+    TPU note: the reference adds the bias through a 5-D view
+    (B, q_h, q_w, k_h, k_w) whose trailing dimension is the window size
+    (14 or 64) — a lane-dimension disaster on TPU vregs (128 lanes).  Here the
+    bias is assembled directly in the flattened k axis via repeat/tile, so all
+    elementwise work runs at full (k_h·k_w)-lane width."""
     q_h, q_w = q_size
     k_h, k_w = k_size
     rh = resize_rel_pos_table(rel_pos_h, 2 * max(q_h, k_h) - 1)[_rel_pos_indices(q_h, k_h)]
     rw = resize_rel_pos_table(rel_pos_w, 2 * max(q_w, k_w) - 1)[_rel_pos_indices(q_w, k_w)]
 
-    b, _, dim = q.shape
+    b, nq, dim = q.shape
     r_q = q.reshape(b, q_h, q_w, dim)
     rel_h = jnp.einsum("bhwc,hkc->bhwk", r_q, rh.astype(q.dtype),
-                       preferred_element_type=jnp.float32)
+                       preferred_element_type=jnp.float32).reshape(b, nq, k_h)
     rel_w = jnp.einsum("bhwc,wkc->bhwk", r_q, rw.astype(q.dtype),
-                       preferred_element_type=jnp.float32)
-    attn = attn.reshape(b, q_h, q_w, k_h, k_w)
-    attn = attn + rel_h[:, :, :, :, None] + rel_w[:, :, :, None, :]
-    return attn.reshape(b, q_h * q_w, k_h * k_w)
+                       preferred_element_type=jnp.float32).reshape(b, nq, k_w)
+    # flattened k index = kh * k_w + kw:
+    #   rel_h entry kh spans k_w consecutive lanes  -> repeat
+    #   rel_w entries cycle per kh block            -> tile
+    bias = (jnp.repeat(rel_h, k_w, axis=-1)
+            + jnp.tile(rel_w, (1, 1, k_h)))
+    return attn + bias
 
 
 # ---------------------------------------------------------------------------

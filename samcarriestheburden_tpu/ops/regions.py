@@ -11,17 +11,30 @@ from typing import Tuple
 import numpy as np
 
 
+def _label_with_areas(working_mask: np.ndarray):
+    """(labels, n_labels, per-label areas) via the native union-find CCL,
+    falling back to cv2.connectedComponentsWithStats."""
+    from samcarriestheburden_tpu import native
+
+    res = native.connected_components_with_areas(working_mask > 0)
+    if res is not None:
+        labels, areas = res
+        return labels, len(areas), areas[1:]
+    import cv2
+
+    n_labels, regions, stats, _ = cv2.connectedComponentsWithStats(
+        working_mask.astype(np.uint8), 8)
+    return regions, n_labels, stats[:, -1][1:]
+
+
 def remove_small_regions(mask: np.ndarray, area_thresh: float,
                          mode: str) -> Tuple[np.ndarray, bool]:
     """Remove small disconnected regions ('islands') or holes ('holes').
     Returns (mask, changed)."""
-    import cv2
-
     assert mode in ("holes", "islands")
     correct_holes = mode == "holes"
     working_mask = (correct_holes ^ mask).astype(np.uint8)
-    n_labels, regions, stats, _ = cv2.connectedComponentsWithStats(working_mask, 8)
-    sizes = stats[:, -1][1:]  # row 0 is background
+    regions, n_labels, sizes = _label_with_areas(working_mask)
     small_regions = [i + 1 for i, s in enumerate(sizes) if s < area_thresh]
     if not small_regions:
         return mask, False

@@ -13,17 +13,32 @@ from typing import Any, Dict, List
 import numpy as np
 
 
-def mask_to_rle(masks: np.ndarray) -> List[Dict[str, Any]]:
+def mask_to_rle(masks: np.ndarray, use_native: bool = True) -> List[Dict[str, Any]]:
     """Encode (B, H, W) boolean masks to uncompressed RLE dicts.
 
     Column-major (Fortran) order, like pycocotools (reference amg.py:107-135).
+    Uses the C++ codec (samcarriestheburden_tpu.native) when available; the
+    vectorised numpy path is the fallback.
     """
     masks = np.asarray(masks, dtype=bool)
     if masks.ndim == 2:
         masks = masks[None]
     b, h, w = masks.shape
-    flat = masks.transpose(0, 2, 1).reshape(b, h * w)
 
+    if use_native:
+        from samcarriestheburden_tpu import native
+
+        if native.load() is not None:
+            out = []
+            for m in masks:
+                counts = native.rle_encode(m)
+                if counts is None:
+                    break
+                out.append({"size": [h, w], "counts": counts})
+            if len(out) == b:
+                return out
+
+    flat = masks.transpose(0, 2, 1).reshape(b, h * w)
     out = []
     for row in flat:
         change = np.flatnonzero(row[1:] ^ row[:-1]) + 1

@@ -1,0 +1,118 @@
+import numpy as np
+import pytest
+
+from samcarriestheburden_tpu.hpo.study import (
+    GridSampler, Study, TPESampler, create_study)
+from samcarriestheburden_tpu.ops.seg_preprocessing import (
+    opening_with_connected_component)
+
+
+def test_grid_sampler_exhausts_full_grid():
+    space = {"a": [1, 2, 3], "b": ["x", "y"]}
+    study = create_study("maximize", sampler=GridSampler(space))
+
+    def objective(trial):
+        a = trial.suggest_int("a", 1, 3)
+        b = trial.suggest_categorical("b", ["x", "y"])
+        return a + (1 if b == "y" else 0)
+
+    study.optimize(objective, n_trials=float("inf"))
+    assert len(study.trials) == 6
+    seen = {(t.params["a"], t.params["b"]) for t in study.trials}
+    assert len(seen) == 6
+    assert study.best_params == {"a": 3, "b": "y"}
+    assert study.best_value == 4
+
+
+def test_tpe_sampler_finds_optimum():
+    study = create_study("maximize", sampler=TPESampler(n_startup_trials=8), seed=1)
+
+    def objective(trial):
+        x = trial.suggest_float("x", -5, 5)
+        return -(x - 2.0) ** 2
+
+    study.optimize(objective, n_trials=60)
+    assert abs(study.best_params["x"] - 2.0) < 1.0
+
+
+def test_catch_failed_trials():
+    study = create_study("maximize")
+
+    def objective(trial):
+        v = trial.suggest_int("v", 0, 10)
+        if trial.number % 2 == 0:
+            raise ValueError("boom")
+        return float(v)
+
+    study.optimize(objective, n_trials=10, catch=ValueError)
+    states = [t.state for t in study.trials]
+    assert states.count("failed") == 5 and states.count("complete") == 5
+    assert study.best_value is not None
+
+
+def test_minimize_direction():
+    study = create_study("minimize")
+
+    def objective(trial):
+        return float(trial.suggest_int("x", 0, 100))
+
+    study.optimize(objective, n_trials=20)
+    assert study.best_value == min(t.value for t in study.trials)
+
+
+def test_study_persistence(tmp_path):
+    study = create_study("maximize", study_name="s")
+    study.set_user_attr("model_id", "abc")
+    study.optimize(lambda t: float(t.suggest_int("x", 0, 5)), n_trials=4)
+    path = study.save(tmp_path / "study.json")
+    loaded = Study.load(path)
+    assert loaded.study_name == "s"
+    assert loaded.user_attrs["model_id"] == "abc"
+    assert loaded.best_value == study.best_value
+    assert len(loaded.trials) == 4
+
+
+def test_opening_with_connected_component():
+    prob = np.zeros((1, 40, 40), np.float32)
+    prob[0, 5:20, 5:20] = 0.9
+    prob[0, 30:32, 30:32] = 0.8  # tiny blob erased by opening
+    out = np.asarray(opening_with_connected_component(prob, "disk", 2, 40, "largest"))
+    assert out[0, 10, 10] > 0.5
+    assert out[0, 30, 30] == 0.0
+    # identity radius keeps everything
+    out_id = np.asarray(opening_with_connected_component(prob, "square", 0, 40, None))
+    np.testing.assert_allclose(out_id, prob, atol=1e-6)
+
+
+def test_hpo_visualize(tmp_path):
+    from samcarriestheburden_tpu.hpo.visualize import visualize_study
+
+    study = create_study("maximize")
+    study.optimize(lambda t: float(t.suggest_int("x", 0, 5))
+                   + (0 if t.suggest_categorical("c", ["a", "b"]) == "a" else 1),
+                   n_trials=6)
+    path = study.save(tmp_path / "s.json")
+    visualize_study(path, save_dir=tmp_path / "plots")
+    assert (tmp_path / "plots" / "history.png").exists()
+    assert (tmp_path / "plots" / "slice_x.png").exists()
+
+
+def test_preprocess_study_end_to_end(data_root):
+    """Full objective over the synthetic data root with a registered U-Net."""
+    import jax
+
+    from samcarriestheburden_tpu.config import UNetConfig
+    from samcarriestheburden_tpu.hpo.objectives import build_preprocess_study
+    from samcarriestheburden_tpu.models import unet
+    from samcarriestheburden_tpu.models.modelio import ModelRegistry
+
+    cfg = UNetConfig(n_channels=1, n_classes=17, base_channels=4, n_last_channel=4)
+    params = unet.init(jax.random.PRNGKey(0), cfg)
+    reg = ModelRegistry(data_root / "model_registry")
+    mid = reg.register(cfg, params)
+
+    objective, study = build_preprocess_study(mid, data_root=str(data_root))
+    study.optimize(objective, n_trials=2)
+    assert len(study.trials) == 2
+    assert all(t.state == "complete" for t in study.trials)
+    assert np.isfinite(study.best_value)
