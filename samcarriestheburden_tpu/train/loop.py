@@ -125,10 +125,14 @@ class UNetTrainer:
             yield jnp.asarray(xb), jnp.asarray(yb), jnp.asarray(w), int(n_valid)
 
     def train_epoch(self, x: np.ndarray, y: np.ndarray, epoch: int,
-                    rng: np.random.Generator) -> Tuple[float, np.ndarray]:
+                    rng: np.random.Generator = None) -> Tuple[float, np.ndarray]:
         """One epoch: bootstrap-sample ``data_sample_per_epoch`` items with
-        replacement (reference RandomSampler(replacement=True), training.py:41-42)."""
+        replacement (reference RandomSampler(replacement=True), training.py:41-42).
+
+        Sampling is keyed on (seed, epoch) — not a sequential stream — so a
+        run resumed from a checkpoint replays the identical epoch schedule."""
         cfg = self.cfg
+        rng = np.random.default_rng((cfg.seed, epoch))
         if cfg.sample_mode == "bootstrap":
             idx = rng.integers(0, len(x), cfg.data_sample_per_epoch)
         else:  # shuffled full epoch, drop_last (pseudo-label training)
@@ -167,23 +171,35 @@ class UNetTrainer:
 
 def train_unet(train_data, val_data, unet_cfg: UNetConfig, train_cfg: TrainConfig,
                logger=None, bone_labels=None, init_params=None, mesh=None,
-               progress: bool = False) -> Tuple[dict, List[Dict]]:
+               progress: bool = False, checkpoint_dir=None,
+               checkpoint_every: int = 50) -> Tuple[dict, List[Dict]]:
     """Full training driver (reference training.py:64-72).
 
     train_data/val_data: (images (N,1,H,W) f32 in [0,1], masks (N,C,H,W) f32).
-    Returns (params, per-epoch history).
+    ``checkpoint_dir`` enables periodic Orbax checkpoints + exact resume
+    (absent in the reference, SURVEY §5).  Returns (params, history).
     """
     trainer = UNetTrainer(unet_cfg, train_cfg, init_params=init_params, mesh=mesh)
-    rng = np.random.default_rng(train_cfg.seed)
+    start_epoch = 0
+    if checkpoint_dir is not None:
+        from samcarriestheburden_tpu.train import checkpoint as ckpt
+
+        latest = ckpt.latest_checkpoint(checkpoint_dir)
+        if latest is not None:
+            trainer.state.params, trainer.state.opt_state, start_epoch = \
+                ckpt.restore_train_state(latest, trainer.state.params,
+                                         trainer.state.opt_state)
+            trainer.state.epoch = start_epoch
     x_tr, y_tr = train_data
     x_va, y_va = val_data
     history = []
-    epochs = range(train_cfg.epochs)
+    epochs = range(start_epoch, train_cfg.epochs)
     if progress:
-        from tqdm import trange
-        epochs = trange(train_cfg.epochs, desc="training")
+        from tqdm import tqdm
+        epochs = tqdm(epochs, desc="training", total=train_cfg.epochs,
+                      initial=start_epoch)
     for epoch in epochs:
-        tr_loss, tr_dice = trainer.train_epoch(x_tr, y_tr, epoch, rng)
+        tr_loss, tr_dice = trainer.train_epoch(x_tr, y_tr, epoch)
         va_loss, va_dice = trainer.evaluate(x_va, y_va)
         rec = {"epoch": epoch, "train_bce": tr_loss,
                "train_dice": float(np.nanmean(tr_dice)),
@@ -201,4 +217,11 @@ def train_unet(train_data, val_data, unet_cfg: UNetConfig, train_cfg: TrainConfi
                                     np.nanmean(va_dice, axis=0),
                                     xlabels=bone_labels, xaxis="class",
                                     yaxis="dice")
+        if checkpoint_dir is not None and (
+                (epoch + 1) % checkpoint_every == 0
+                or epoch + 1 == train_cfg.epochs):
+            from samcarriestheburden_tpu.train import checkpoint as ckpt
+
+            ckpt.save_train_state(checkpoint_dir, epoch + 1,
+                                  trainer.state.params, trainer.state.opt_state)
     return trainer.state.params, history

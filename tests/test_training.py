@@ -101,3 +101,42 @@ def test_logger(tmp_path):
     recs = log.scalars()
     assert len(recs) == 2 and recs[1]["value"] == 0.4
     log.close()
+
+
+def test_checkpoint_resume(rng, tmp_path):
+    """Interrupted training resumes exactly from the saved epoch."""
+    x, y = _toy_data(rng, n=4)
+    ucfg = UNetConfig(n_channels=1, n_classes=3, base_channels=4, n_last_channel=4)
+
+    cfg_full = TrainConfig(epochs=4, batch_size=4, data_sample_per_epoch=4,
+                           data_aug=0.0)
+    params_full, hist_full = train_unet((x, y), (x, y), ucfg, cfg_full)
+
+    ck = tmp_path / "ckpt"
+    train_unet((x, y), (x, y), ucfg, cfg_full, checkpoint_dir=ck,
+               checkpoint_every=2)
+    # simulate a crash after epoch 2: drop the final checkpoint and resume
+    import shutil
+    shutil.rmtree(ck / "epoch_00004")
+    params_res, hist_res = train_unet((x, y), (x, y), ucfg, cfg_full,
+                                      checkpoint_dir=ck, checkpoint_every=2)
+    assert [h["epoch"] for h in hist_res] == [2, 3]
+    import jax
+    for a, b in zip(jax.tree.leaves(params_full), jax.tree.leaves(params_res)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_profiling_phase_timer(tmp_path):
+    from samcarriestheburden_tpu.profiling import PhaseTimer
+
+    t = PhaseTimer(sync=False)
+    with t.phase("encode"):
+        pass
+    with t.phase("encode"):
+        pass
+    with t.phase("decode"):
+        pass
+    rep = t.report()
+    assert rep["encode"]["count"] == 2 and rep["decode"]["count"] == 1
+    t.dump(tmp_path / "p.json")
+    assert (tmp_path / "p.json").exists()
