@@ -31,15 +31,22 @@ REFERENCE_IMG_PER_SEC = 1.8  # see module docstring
 
 
 def _time_it(fn, *args, iters=5, warmup=2):
+    """Times a function whose outputs are reduced to one scalar on device and
+    fetched each iteration — the only reliable completion barrier over the
+    remote-TPU tunnel (block_until_ready returns early there)."""
     import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def scalarized(*a):
+        out = fn(*a)
+        return sum(jnp.sum(o.astype(jnp.float32)) for o in jax.tree.leaves(out))
 
     for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        float(scalarized(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        float(scalarized(*args))
     return (time.perf_counter() - t0) / iters
 
 

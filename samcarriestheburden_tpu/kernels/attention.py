@@ -1,0 +1,137 @@
+"""Fused ViTDet attention kernel (Pallas/Mosaic).
+
+Computes ``softmax(q·kᵀ·scale + rel_bias)·v`` for SAM's image-encoder
+attention (reference image_encoder.py:224-240) in one kernel, with the
+decomposed relative-position bias assembled **inside** the kernel from the
+small per-axis tables — the (N, N) bias tensor never exists in HBM.
+
+Shapes: q, k, v (G, N, D) where G = batch·windows·heads and N = Kh·Kw is the
+token grid (196 for 14×14 windows, 4096 for the global layers).
+rel_h (G, N, Kh) and rel_w (G, N, Kw) are the q-projected tables
+(two cheap einsums, done outside).
+
+Design notes (pallas_guide.md):
+* grid = (G, N/q_block); each program holds its q block + the full k/v rows
+  in VMEM (4096·128·4B ≈ 2 MB each — fits), so no flash accumulation state
+  is needed; logits tile is (q_block, N) fp32.
+* bias tile build: flattened key index k = kh·Kw + kw ⇒
+  repeat(rel_h, Kw) + tile(rel_w, Kh) — pure lane-parallel VPU ops.
+* matmuls declare ``preferred_element_type=float32`` (MXU accumulate), softmax
+  runs fp32, the output returns in the input dtype.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *,
+                 scale: float, kh: int, kw: int):
+    q = q_ref[0]            # (qb, D)
+    k = k_ref[0]            # (N, D)
+    v = v_ref[0]            # (N, D)
+    logits = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale          # (qb, N)
+
+    rh = rh_ref[0].astype(jnp.float32)                        # (qb, Kh)
+    rw = rw_ref[0].astype(jnp.float32)                        # (qb, Kw)
+    qb = rh.shape[0]
+    # flattened key index k = kh·Kw + kw:
+    #   rh entries span Kw consecutive lanes -> broadcast+reshape (elem repeat)
+    #   rw entries cycle per kh block        -> pltpu.repeat (tile semantics)
+    rh_full = jnp.broadcast_to(rh[:, :, None], (qb, kh, kw)).reshape(qb, kh * kw)
+    rw_full = pltpu.repeat(rw, kh, axis=1)
+    logits = logits + rh_full + rw_full
+
+    logits = logits - jnp.max(logits, axis=-1, keepdims=True)
+    probs = jnp.exp(logits)
+    probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+
+    out = jax.lax.dot_general(
+        probs.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("kh", "kw", "q_block", "interpret"))
+def fused_rel_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                        rel_h: jnp.ndarray, rel_w: jnp.ndarray, *,
+                        kh: int, kw: int, q_block: Optional[int] = None,
+                        interpret: bool = False) -> jnp.ndarray:
+    """q, k, v: (G, N, D); rel_h: (G, N, kh); rel_w: (G, N, kw) -> (G, N, D)."""
+    g, n, d = q.shape
+    assert n == kh * kw, f"N={n} must equal kh*kw={kh * kw}"
+    scale = d ** -0.5
+    if q_block is None:
+        q_block = n if n <= 1024 else 512
+    assert n % q_block == 0
+
+    grid = (g, n // q_block)
+    kernel = partial(_attn_kernel, scale=scale, kh=kh, kw=kw)
+    flops = 2 * g * n * n * d * 2 + 4 * g * n * n
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, q_block, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, n, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, n, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, q_block, kh), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, q_block, kw), lambda i, j: (i, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, q_block, d), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, transcendentals=g * n * n,
+            bytes_accessed=4 * g * n * d * q.dtype.itemsize),
+        interpret=interpret,
+    )(q, k, v, rel_h, rel_w)
+
+
+def attention_apply_pallas(p: dict, x: jnp.ndarray, num_heads: int,
+                           use_rel_pos: bool, *,
+                           interpret: bool = False) -> jnp.ndarray:
+    """Drop-in replacement for models.image_encoder.attention_apply backed by
+    the fused kernel.  x: (B, H, W, C) -> (B, H, W, C)."""
+    from samcarriestheburden_tpu.models.common import linear
+    from samcarriestheburden_tpu.models.image_encoder import (
+        _rel_pos_indices, resize_rel_pos_table)
+
+    b, h, w, c = x.shape
+    hd = c // num_heads
+    n = h * w
+
+    qkv = linear(p["qkv"], x).reshape(b, n, 3, num_heads, hd)
+    qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4)).reshape(3, b * num_heads, n, hd)
+    q, k, v = qkv[0], qkv[1], qkv[2]
+
+    if not use_rel_pos:
+        # plain attention path (not used by SAM configs; fall back to XLA)
+        from samcarriestheburden_tpu.models.image_encoder import attention_apply
+
+        return attention_apply(p, x, num_heads, use_rel_pos)
+
+    rh_table = resize_rel_pos_table(p["rel_pos_h"], 2 * h - 1)[_rel_pos_indices(h, h)]
+    rw_table = resize_rel_pos_table(p["rel_pos_w"], 2 * w - 1)[_rel_pos_indices(w, w)]
+    r_q = q.reshape(b * num_heads, h, w, hd)
+    rel_h = jnp.einsum("bhwc,hkc->bhwk", r_q, rh_table.astype(q.dtype),
+                       preferred_element_type=jnp.float32).reshape(b * num_heads, n, h)
+    rel_w = jnp.einsum("bhwc,wkc->bhwk", r_q, rw_table.astype(q.dtype),
+                       preferred_element_type=jnp.float32).reshape(b * num_heads, n, w)
+
+    out = fused_rel_attention(q, k, v, rel_h.astype(q.dtype),
+                              rel_w.astype(q.dtype), kh=h, kw=w,
+                              interpret=interpret)
+    out = out.reshape(b, num_heads, h, w, hd)
+    out = jnp.transpose(out, (0, 2, 3, 1, 4)).reshape(b, h, w, c)
+    return linear(p["proj"], out)

@@ -1,0 +1,91 @@
+"""Pallas fused attention kernel vs the XLA reference path (interpret mode on
+CPU; the real-TPU benchmark selects the winner at runtime)."""
+
+import numpy as np
+import pytest
+
+from samcarriestheburden_tpu.config import sam_vit_t_config
+from samcarriestheburden_tpu.kernels.attention import (
+    attention_apply_pallas, fused_rel_attention)
+from samcarriestheburden_tpu.models import image_encoder
+
+
+def _rand_attn_inputs(rng, g, kh, kw, d):
+    n = kh * kw
+    q = rng.standard_normal((g, n, d)).astype(np.float32)
+    k = rng.standard_normal((g, n, d)).astype(np.float32)
+    v = rng.standard_normal((g, n, d)).astype(np.float32)
+    rel_h = rng.standard_normal((g, n, kh)).astype(np.float32) * 0.1
+    rel_w = rng.standard_normal((g, n, kw)).astype(np.float32) * 0.1
+    return q, k, v, rel_h, rel_w
+
+
+def _reference(q, k, v, rel_h, rel_w, kh, kw):
+    import jax
+    import jax.numpy as jnp
+
+    d = q.shape[-1]
+    logits = np.einsum("gqd,gkd->gqk", q, k) / np.sqrt(d)
+    bias = np.repeat(rel_h, kw, axis=-1) + np.tile(rel_w, (1, 1, kh))
+    logits = logits + bias
+    w = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1))
+    return np.einsum("gqk,gkd->gqd", w, v)
+
+
+@pytest.mark.parametrize("g,kh,kw,d", [(3, 4, 4, 32), (2, 4, 8, 16)])
+def test_fused_kernel_matches_reference(rng, g, kh, kw, d):
+    q, k, v, rel_h, rel_w = _rand_attn_inputs(rng, g, kh, kw, d)
+    out = np.asarray(fused_rel_attention(q, k, v, rel_h, rel_w, kh=kh, kw=kw,
+                                         interpret=True))
+    expected = _reference(q, k, v, rel_h, rel_w, kh, kw)
+    np.testing.assert_allclose(out, expected, atol=2e-5)
+
+
+def test_fused_kernel_q_blocking(rng):
+    g, kh, kw, d = 2, 8, 8, 16
+    q, k, v, rel_h, rel_w = _rand_attn_inputs(rng, g, kh, kw, d)
+    out_full = np.asarray(fused_rel_attention(q, k, v, rel_h, rel_w,
+                                              kh=kh, kw=kw, interpret=True))
+    out_blocked = np.asarray(fused_rel_attention(q, k, v, rel_h, rel_w,
+                                                 kh=kh, kw=kw, q_block=16,
+                                                 interpret=True))
+    np.testing.assert_allclose(out_blocked, out_full, atol=2e-5)
+
+
+def test_pallas_attention_matches_encoder_path(rng):
+    """Full attention layer (qkv proj + rel tables + proj) matches the XLA
+    implementation on real window shapes."""
+    import jax
+
+    cfg = sam_vit_t_config().image_encoder
+    params = image_encoder.init(jax.random.PRNGKey(1), cfg)
+    blk = jax.tree.map(
+        lambda a: np.asarray(a) if hasattr(a, "dtype") else a,
+        params["blocks"][0])
+    # give rel-pos tables non-zero values
+    key = jax.random.PRNGKey(2)
+    blk["attn"]["rel_pos_h"] = np.asarray(
+        jax.random.normal(key, blk["attn"]["rel_pos_h"].shape) * 0.1)
+    blk["attn"]["rel_pos_w"] = np.asarray(
+        jax.random.normal(key, blk["attn"]["rel_pos_w"].shape) * 0.1)
+
+    x = rng.standard_normal((2, 5, 5, cfg.embed_dim)).astype(np.float32)
+    ref = np.asarray(image_encoder.attention_apply(
+        blk["attn"], x, cfg.num_heads, True))
+    ours = np.asarray(attention_apply_pallas(
+        blk["attn"], x, cfg.num_heads, True, interpret=True))
+    np.testing.assert_allclose(ours, ref, atol=2e-4)
+
+
+def test_encoder_with_pallas_impl(rng):
+    """image_encoder.apply accepts the pallas attention_impl switch."""
+    import functools
+    import jax
+
+    cfg = sam_vit_t_config().image_encoder
+    params = image_encoder.init(jax.random.PRNGKey(0), cfg)
+    x = rng.standard_normal((1, 3, cfg.img_size, cfg.img_size)).astype(np.float32)
+    ref = np.asarray(image_encoder.apply(params, cfg, x))
+    impl = functools.partial(attention_apply_pallas, interpret=True)
+    ours = np.asarray(image_encoder.apply(params, cfg, x, attention_impl=impl))
+    np.testing.assert_allclose(ours, ref, atol=5e-4)
