@@ -51,7 +51,8 @@ def main(argv=None):
     dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[args.dtype]
     precompute_embeddings(model, files, out, Path(ckpt).name,
                           batch_size=args.batch_size, dtype=dtype,
-                          mesh=maybe_mesh(args))
+                          mesh=maybe_mesh(args),
+                          medsam=(args.sam_type == "medsam"))
     print(f"wrote {out}")
 
 

@@ -172,9 +172,9 @@ class SamMaskDecoderHead:
         """Literal reference postprocess (sam_mask_decoder_head.py:106-135) —
         recompiles per unique image size; use :func:`postprocess_to_grid` for
         the batched pipeline."""
-        cfg = self.cfg.replace()  # img sizes come from the h5, not the config
         size = self.img_enc_img_size
         from samcarriestheburden_tpu.ops.resize import resize_bilinear
+
         masks = resize_bilinear(low_res, (size, size))
         masks = masks[..., : input_size[0], : input_size[1]]
         return resize_bilinear(masks, tuple(original_size))

@@ -58,13 +58,37 @@ def make_encode_batch(model: SamModel, dtype=jnp.bfloat16):
     return encode
 
 
+def make_encode_batch_medsam(model: SamModel, dtype=jnp.bfloat16):
+    """MedSAM variant (reference generate_img_embeddings.py:49-64): the image
+    arrives cubic-resized to the square encoder size; normalisation is
+    per-image min-max to [0, 1] (no padding mask)."""
+    from samcarriestheburden_tpu.models import image_encoder
+
+    @jax.jit
+    def encode(params, imgs, input_sizes):
+        x = imgs.astype(jnp.float32)
+        lo = jnp.min(x, axis=(1, 2, 3), keepdims=True)
+        hi = jnp.max(x, axis=(1, 2, 3), keepdims=True)
+        x = (x - lo) / jnp.clip(hi - lo, 1e-8)
+        return image_encoder.apply(params["image_encoder"],
+                                   model.cfg.image_encoder, x, dtype=dtype)
+
+    return encode
+
+
 def precompute_embeddings(model: SamModel, image_files: Sequence,
                           out_h5, checkpoint_name: str, *,
                           batch_size: int = 8, dtype=jnp.bfloat16,
-                          mesh=None, progress: bool = True) -> None:
-    """Encode every image and write the embeddings h5."""
+                          mesh=None, progress: bool = True,
+                          medsam: bool = False) -> None:
+    """Encode every image and write the embeddings h5.
+
+    ``medsam=True`` switches to the MedSAM preprocessing convention
+    (cv2 cubic square resize + min-max normalise, reference
+    generate_img_embeddings.py:49-64)."""
     size = model.img_size
-    encode = make_encode_batch(model, dtype)
+    encode = (make_encode_batch_medsam(model, dtype) if medsam
+              else make_encode_batch(model, dtype))
     files: List[Path] = [Path(f) for f in image_files]
     it = range(0, len(files), batch_size)
     if progress:
@@ -80,7 +104,13 @@ def precompute_embeddings(model: SamModel, image_files: Sequence,
             orig_sizes = []
             for i, f in enumerate(chunk):
                 img = load_image_rgb(f)
-                resized = resize_longest_side_np(img, size)
+                if medsam:
+                    import cv2
+
+                    resized = cv2.resize(img, (size, size),
+                                         interpolation=cv2.INTER_CUBIC)
+                else:
+                    resized = resize_longest_side_np(img, size)
                 h, w = resized.shape[:2]
                 batch[i, :, :h, :w] = resized.transpose(2, 0, 1)
                 sizes[i] = (h, w)

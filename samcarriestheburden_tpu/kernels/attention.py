@@ -43,13 +43,21 @@ def _attn_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *,
 
     rh = rh_ref[0].astype(jnp.float32)                        # (qb, Kh)
     rw = rw_ref[0].astype(jnp.float32)                        # (qb, Kw)
-    qb = rh.shape[0]
-    # flattened key index k = kh·Kw + kw:
-    #   rh entries span Kw consecutive lanes -> broadcast+reshape (elem repeat)
-    #   rw entries cycle per kh block        -> pltpu.repeat (tile semantics)
-    rh_full = jnp.broadcast_to(rh[:, :, None], (qb, kh, kw)).reshape(qb, kh * kw)
-    rw_full = pltpu.repeat(rw, kh, axis=1)
-    logits = logits + rh_full + rw_full
+    n = kh * kw
+    # flattened key index k = kh_idx·Kw + kw_idx.  Expand the per-axis tables
+    # with one-hot expansion matmuls (Mosaic has no lane-repeat reshape):
+    #   rh_full[q, k] = rh[q, k // Kw]  via E_h[i, k] = (k // Kw == i)
+    #   rw_full[q, k] = rw[q, k %  Kw]  via E_w[j, k] = (k %  Kw == j)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    eh = (col // kw == jax.lax.broadcasted_iota(jnp.int32, (kh, n), 0)
+          ).astype(jnp.float32)
+    ew = (col % kw == jax.lax.broadcasted_iota(jnp.int32, (kw, n), 0)
+          ).astype(jnp.float32)
+    bias = jax.lax.dot_general(rh, eh, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    bias = bias + jax.lax.dot_general(rw, ew, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+    logits = logits + bias
 
     logits = logits - jnp.max(logits, axis=-1, keepdims=True)
     probs = jnp.exp(logits)
@@ -71,7 +79,7 @@ def fused_rel_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     assert n == kh * kw, f"N={n} must equal kh*kw={kh * kw}"
     scale = d ** -0.5
     if q_block is None:
-        q_block = n if n <= 1024 else 512
+        q_block = n if n <= 1024 else 256
     assert n % q_block == 0
 
     grid = (g, n // q_block)
@@ -90,7 +98,8 @@ def fused_rel_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         out_specs=pl.BlockSpec((1, q_block, d), lambda i, j: (i, j, 0)),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")),
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=64 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=flops, transcendentals=g * n * n,
             bytes_accessed=4 * g * n * d * q.dtype.itemsize),

@@ -223,3 +223,19 @@ def unet_params_from_torch(sd: Dict[str, np.ndarray], cfg: UNetConfig) -> dict:
         params[f"up{i}"] = up
     params["outc"] = _conv(sd, "outc.conv")
     return params
+
+
+def load_reference_unet(path) -> tuple:
+    """Load a reference LoadableModel U-Net bundle (``{'config', 'model_state'}``,
+    reference custom_arcitecture/modelio.py:67-86) into (UNetConfig, params)."""
+    bundle = load_torch_state_dict(path)
+    assert isinstance(bundle, dict) and "model_state" in bundle, \
+        "not a LoadableModel bundle"
+    raw_cfg = bundle["config"]
+    cfg = UNetConfig(n_channels=raw_cfg["n_channels"],
+                     n_classes=raw_cfg["n_classes"],
+                     bilinear=raw_cfg.get("bilinear", False),
+                     n_last_channel=raw_cfg.get("n_last_channel", 64))
+    sd = {k: v.numpy() if hasattr(v, "numpy") else v
+          for k, v in bundle["model_state"].items()}
+    return cfg, unet_params_from_torch(sd, cfg)

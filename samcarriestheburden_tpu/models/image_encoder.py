@@ -208,12 +208,42 @@ def block_apply(p: dict, x: jnp.ndarray, cfg: ImageEncoderConfig,
     return x + mlp_block(p["mlp"], layer_norm(p["norm2"], x, cfg.layer_norm_eps))
 
 
+def _block_apply_windowed(p: dict, xw: jnp.ndarray, pad_valid: jnp.ndarray,
+                          cfg: ImageEncoderConfig,
+                          attention_impl) -> jnp.ndarray:
+    """Windowed block evaluated *in window layout* (B·nW, ws, ws, C).
+
+    Numerically identical to partition→block_apply→unpartition: the reference
+    re-zeroes padded positions at every partition (they are created from a
+    fresh zero-pad each block, image_encoder.py:256-259); here the same
+    positions are masked to zero after norm1, which is where their value could
+    first reach a real token (window-local attention).  All other ops are
+    pointwise, so pad-slot contents never leak."""
+    shortcut = xw
+    x = layer_norm(p["norm1"], xw, cfg.layer_norm_eps) * pad_valid
+    x = attention_impl(p["attn"], x, cfg.num_heads, cfg.use_rel_pos)
+    x = shortcut + x
+    return x + mlp_block(p["mlp"], layer_norm(p["norm2"], x, cfg.layer_norm_eps))
+
+
+def _pad_valid_mask(b: int, h: int, w: int, window_size: int, dtype) -> jnp.ndarray:
+    """(B·nW, ws, ws, 1) mask of real (non-padded) token positions."""
+    ones = jnp.ones((b, h, w, 1), dtype)
+    mask, _ = window_partition(ones, window_size)
+    return mask
+
+
 def apply(params: dict, cfg: ImageEncoderConfig, x: jnp.ndarray, *,
-          dtype=jnp.float32, attention_impl=attention_apply) -> jnp.ndarray:
+          dtype=jnp.float32, attention_impl=attention_apply,
+          persistent_windows: bool = True) -> jnp.ndarray:
     """(B, 3, img, img) NCHW in (API parity) -> (B, out_chans, grid, grid) NCHW out.
 
     ``dtype`` is the compute precision for the transformer stack (bfloat16 on
-    TPU for production; fp32 for parity tests).
+    TPU for production; fp32 for parity tests).  ``persistent_windows`` keeps
+    activations in window layout across consecutive windowed blocks
+    (ViT-H: 7 of every 8), eliminating ~6/7 of the 20 MB partition/unpartition
+    transposes; the per-layer pad re-zeroing preserves exact reference
+    numerics (see _block_apply_windowed).
     """
     x = jnp.transpose(x, (0, 2, 3, 1)).astype(dtype)  # NHWC
     x = conv2d(params["patch_embed"], x,
@@ -221,9 +251,29 @@ def apply(params: dict, cfg: ImageEncoderConfig, x: jnp.ndarray, *,
     if cfg.use_abs_pos:
         x = x + params["pos_embed"].astype(dtype)
 
-    for i, blk in enumerate(params["blocks"]):
-        ws = 0 if i in cfg.global_attn_indexes else cfg.window_size
-        x = block_apply(blk, x, cfg, ws, attention_impl)
+    if persistent_windows and cfg.window_size > 0:
+        b, h, w, _ = x.shape
+        ws = cfg.window_size
+        pad_valid = _pad_valid_mask(b, h, w, ws, x.dtype)
+        in_windows = False
+        pad_hw = None
+        for i, blk in enumerate(params["blocks"]):
+            if i in cfg.global_attn_indexes:
+                if in_windows:
+                    x = window_unpartition(x, ws, pad_hw, (h, w))
+                    in_windows = False
+                x = block_apply(blk, x, cfg, 0, attention_impl)
+            else:
+                if not in_windows:
+                    x, pad_hw = window_partition(x, ws)
+                    in_windows = True
+                x = _block_apply_windowed(blk, x, pad_valid, cfg, attention_impl)
+        if in_windows:
+            x = window_unpartition(x, ws, pad_hw, (h, w))
+    else:
+        for i, blk in enumerate(params["blocks"]):
+            ws = 0 if i in cfg.global_attn_indexes else cfg.window_size
+            x = block_apply(blk, x, cfg, ws, attention_impl)
 
     n = params["neck"]
     x = x.astype(jnp.float32)
