@@ -30,24 +30,30 @@ import numpy as np
 REFERENCE_IMG_PER_SEC = 1.8  # see module docstring
 
 
-def _time_it(fn, *args, iters=5, warmup=2):
-    """Times a function whose outputs are reduced to one scalar on device and
-    fetched each iteration — the only reliable completion barrier over the
-    remote-TPU tunnel (block_until_ready returns early there)."""
+def _time_it(fn, *args, iters=3, warmup=2, inner=8):
+    """Times ``fn`` amortised over ``inner`` chained executions inside one jit
+    (a data dependency through the accumulator prevents hoisting), fetching a
+    single scalar per call — the only reliable completion barrier over the
+    remote-TPU tunnel, whose ~30 ms RTT would otherwise dominate
+    (block_until_ready returns early there)."""
     import jax
     import jax.numpy as jnp
 
     @jax.jit
-    def scalarized(*a):
-        out = fn(*a)
-        return sum(jnp.sum(o.astype(jnp.float32)) for o in jax.tree.leaves(out))
+    def chained(*a):
+        def body(_, acc):
+            first = a[0] + (acc * 1e-30).astype(a[0].dtype)  # dependency chain
+            out = fn(first, *a[1:])
+            return sum(jnp.sum(o.astype(jnp.float32))
+                       for o in jax.tree.leaves(out))
+        return jax.lax.fori_loop(0, inner, body, jnp.float32(0))
 
     for _ in range(warmup):
-        float(scalarized(*args))
+        float(chained(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
-        float(scalarized(*args))
-    return (time.perf_counter() - t0) / iters
+        float(chained(*args))
+    return (time.perf_counter() - t0) / (iters * inner)
 
 
 def main():
@@ -68,13 +74,25 @@ def main():
     from samcarriestheburden_tpu.config import N_CLASSES
     from samcarriestheburden_tpu.engine.embeddings import make_encode_batch
     from samcarriestheburden_tpu.models import mask_decoder, prompt_encoder
-    from samcarriestheburden_tpu.models.build import sam_model_registry
 
     model_name = "vit_t" if args.smoke else args.model
     batch = 1 if args.smoke else args.batch
     dtype = jnp.float32 if args.smoke else jnp.bfloat16
 
-    model = sam_model_registry[model_name]()
+    # Shape-only zero init: throughput doesn't depend on weight values, and
+    # RNG-initialising ViT-H's 0.6B params on the single host core takes
+    # minutes (the checkpoint path is what production uses).
+    from samcarriestheburden_tpu.models.sam import SamModel, init as sam_init
+
+    from samcarriestheburden_tpu import config as _config
+
+    cfg = {"vit_t": _config.sam_vit_t_config,
+           "vit_b": _config.sam_vit_b_config,
+           "vit_l": _config.sam_vit_l_config,
+           "vit_h": _config.sam_vit_h_config}[model_name]()
+    shapes = jax.eval_shape(lambda k: sam_init(k, cfg), jax.random.PRNGKey(0))
+    params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    model = SamModel(cfg=cfg, params=params)
     size = model.img_size
     grid = model.cfg.prompt_encoder.image_embedding_size[0]
     rng = np.random.default_rng(0)

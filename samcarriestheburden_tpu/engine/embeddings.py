@@ -96,29 +96,45 @@ def precompute_embeddings(model: SamModel, image_files: Sequence,
 
         it = tqdm(it, unit="batch", desc="Saving embeddings")
 
-    with EmbeddingWriter(out_h5, checkpoint_name, size) as writer:
-        for start in it:
-            chunk = files[start:start + batch_size]
-            batch = np.zeros((batch_size, 3, size, size), np.uint8)
-            sizes = np.ones((batch_size, 2), np.int32)
-            orig_sizes = []
-            for i, f in enumerate(chunk):
-                img = load_image_rgb(f)
-                if medsam:
-                    import cv2
+    def load_chunk(chunk):
+        batch = np.zeros((batch_size, 3, size, size), np.uint8)
+        sizes = np.ones((batch_size, 2), np.int32)
+        orig_sizes = []
+        for i, f in enumerate(chunk):
+            img = load_image_rgb(f)
+            if medsam:
+                import cv2
 
-                    resized = cv2.resize(img, (size, size),
-                                         interpolation=cv2.INTER_CUBIC)
-                else:
-                    resized = resize_longest_side_np(img, size)
-                h, w = resized.shape[:2]
-                batch[i, :, :h, :w] = resized.transpose(2, 0, 1)
-                sizes[i] = (h, w)
-                orig_sizes.append(img.shape[:2])
-            if mesh is not None:
-                batch, sizes = pmesh.shard_batch(mesh, (batch, sizes))
-            feats = np.asarray(encode(model.params, jnp.asarray(batch),
-                                      jnp.asarray(sizes)), np.float32)
+                resized = cv2.resize(img, (size, size),
+                                     interpolation=cv2.INTER_CUBIC)
+            else:
+                resized = resize_longest_side_np(img, size)
+            h, w = resized.shape[:2]
+            batch[i, :, :h, :w] = resized.transpose(2, 0, 1)
+            sizes[i] = (h, w)
+            orig_sizes.append(img.shape[:2])
+        return batch, sizes, orig_sizes
+
+    with EmbeddingWriter(out_h5, checkpoint_name, size) as writer:
+        pending = None  # software pipeline: device encodes batch i while the
+        # host loads batch i+1 and writes batch i-1 (jax dispatch is async)
+
+        def drain(p):
+            chunk, sizes, orig_sizes, fut = p
+            feats = np.asarray(fut, np.float32)
             for i, f in enumerate(chunk):
                 writer.write(f.stem, feats[i:i + 1], orig_sizes[i],
                              tuple(int(v) for v in np.asarray(sizes)[i]))
+
+        for start in it:
+            chunk = files[start:start + batch_size]
+            batch, sizes, orig_sizes = load_chunk(chunk)
+            dev_batch, dev_sizes = (pmesh.shard_batch(mesh, (batch, sizes))
+                                    if mesh is not None else (batch, sizes))
+            fut = encode(model.params, jnp.asarray(dev_batch),
+                         jnp.asarray(dev_sizes))
+            if pending is not None:
+                drain(pending)
+            pending = (chunk, sizes, orig_sizes, fut)
+        if pending is not None:
+            drain(pending)

@@ -33,19 +33,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *,
-                 scale: float, kh: int, kw: int):
-    q = q_ref[0]            # (qb, D)
-    k = k_ref[0]            # (N, D)
-    v = v_ref[0]            # (N, D)
-    logits = jax.lax.dot_general(
-        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale          # (qb, N)
-
-    rh = rh_ref[0].astype(jnp.float32)                        # (qb, Kh)
-    rw = rw_ref[0].astype(jnp.float32)                        # (qb, Kw)
+                 scale: float, kh: int, kw: int, g_block: int):
     n = kh * kw
-    # flattened key index k = kh_idx·Kw + kw_idx.  Expand the per-axis tables
-    # with one-hot expansion matmuls (Mosaic has no lane-repeat reshape):
+    # one-hot expansion matrices for the decomposed bias (Mosaic has no
+    # lane-repeat reshape):
     #   rh_full[q, k] = rh[q, k // Kw]  via E_h[i, k] = (k // Kw == i)
     #   rw_full[q, k] = rw[q, k %  Kw]  via E_w[j, k] = (k %  Kw == j)
     col = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
@@ -53,26 +44,41 @@ def _attn_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *,
           ).astype(jnp.float32)
     ew = (col % kw == jax.lax.broadcasted_iota(jnp.int32, (kw, n), 0)
           ).astype(jnp.float32)
-    bias = jax.lax.dot_general(rh, eh, (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
-    bias = bias + jax.lax.dot_general(rw, ew, (((1,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
-    logits = logits + bias
 
-    logits = logits - jnp.max(logits, axis=-1, keepdims=True)
-    probs = jnp.exp(logits)
-    probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+    # unrolled loop over the window-head groups of this program: amortises
+    # per-program setup over g_block small attention problems
+    for g in range(g_block):
+        q = q_ref[g]            # (qb, D)
+        k = k_ref[g]            # (N, D)
+        v = v_ref[g]            # (N, D)
+        logits = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale      # (qb, N)
 
-    out = jax.lax.dot_general(
-        probs.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    o_ref[0] = out.astype(o_ref.dtype)
+        rh = rh_ref[g].astype(jnp.float32)                   # (qb, Kh)
+        rw = rw_ref[g].astype(jnp.float32)                   # (qb, Kw)
+        bias = jax.lax.dot_general(rh, eh, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        bias = bias + jax.lax.dot_general(rw, ew, (((1,), (0,)), ((), ())),
+                                          preferred_element_type=jnp.float32)
+        logits = logits + bias
+
+        logits = logits - jnp.max(logits, axis=-1, keepdims=True)
+        probs = jnp.exp(logits)
+        probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+
+        out = jax.lax.dot_general(
+            probs.astype(v.dtype), v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o_ref[g] = out.astype(o_ref.dtype)
 
 
-@partial(jax.jit, static_argnames=("kh", "kw", "q_block", "interpret"))
+@partial(jax.jit, static_argnames=("kh", "kw", "q_block", "g_block", "interpret"))
 def fused_rel_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                         rel_h: jnp.ndarray, rel_w: jnp.ndarray, *,
                         kh: int, kw: int, q_block: Optional[int] = None,
+                        g_block: Optional[int] = None,
                         interpret: bool = False) -> jnp.ndarray:
     """q, k, v: (G, N, D); rel_h: (G, N, kh); rel_w: (G, N, kw) -> (G, N, D)."""
     g, n, d = q.shape
@@ -81,21 +87,27 @@ def fused_rel_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     if q_block is None:
         q_block = n if n <= 1024 else 256
     assert n % q_block == 0
+    if g_block is None:
+        # small windows: batch several groups per program to amortise setup;
+        # big (global) problems: one group per program
+        g_block = 8 if n <= 1024 else 1
+    while g % g_block:
+        g_block -= 1
 
-    grid = (g, n // q_block)
-    kernel = partial(_attn_kernel, scale=scale, kh=kh, kw=kw)
+    grid = (g // g_block, n // q_block)
+    kernel = partial(_attn_kernel, scale=scale, kh=kh, kw=kw, g_block=g_block)
     flops = 2 * g * n * n * d * 2 + 4 * g * n * n
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, q_block, d), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, n, d), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, n, d), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, q_block, kh), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, q_block, kw), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((g_block, q_block, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((g_block, n, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((g_block, n, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((g_block, q_block, kh), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((g_block, q_block, kw), lambda i, j: (i, j, 0)),
         ],
-        out_specs=pl.BlockSpec((1, q_block, d), lambda i, j: (i, j, 0)),
+        out_specs=pl.BlockSpec((g_block, q_block, d), lambda i, j: (i, j, 0)),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),

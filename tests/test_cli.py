@@ -82,3 +82,36 @@ def test_registry_roundtrip(tmp_path):
     with pytest.raises(KeyError):
         reg.get_weights("nope")
     assert any(r["id"] == mid for r in reg.list())
+
+
+def test_amg_cli_end_to_end(tmp_path, monkeypatch):
+    """Drive cli.amg with a tiny npz checkpoint over one image."""
+    import cv2
+    import jax
+
+    from samcarriestheburden_tpu.cli import amg as amg_cli
+    from samcarriestheburden_tpu.config import sam_vit_t_config
+    from samcarriestheburden_tpu.models.modelio import save_params
+    from samcarriestheburden_tpu.models.sam import init as sam_init
+
+    cfg = sam_vit_t_config()
+    params = sam_init(jax.random.PRNGKey(0), cfg)
+    ckpt = tmp_path / "tiny_sam.npz"
+    save_params(ckpt, params)
+
+    img = np.zeros((160, 200), np.uint8)
+    img[40:120, 60:140] = 220
+    img_path = tmp_path / "x.png"
+    cv2.imwrite(str(img_path), img)
+    out_dir = tmp_path / "out"
+
+    amg_cli.main(["--checkpoint", str(ckpt), "--model-type", "vit_t",
+                  "--input", str(img_path), "--output", str(out_dir),
+                  "--points-per-side", "2", "--pred-iou-thresh", "-100",
+                  "--stability-score-thresh", "0"])
+    base = out_dir / "x"
+    assert (base / "metadata.csv").exists()
+    pngs = list(base.glob("*.png"))
+    assert len(pngs) >= 1
+    m = cv2.imread(str(pngs[0]), cv2.IMREAD_GRAYSCALE)
+    assert m.shape == (160, 200)
