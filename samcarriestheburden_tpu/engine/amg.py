@@ -13,12 +13,10 @@ TPU-native layout of the same algorithm:
 
 from __future__ import annotations
 
-from typing import Any, Dict, Generator as TGenerator, ItemsView, List, Optional, Tuple
+from typing import Any, Dict, ItemsView, List, Optional
 
-import jax.numpy as jnp
 import numpy as np
 
-from samcarriestheburden_tpu.config import AMGConfig
 from samcarriestheburden_tpu.engine.predictor import SamPredictor
 from samcarriestheburden_tpu.models.sam import SamModel
 from samcarriestheburden_tpu.ops.mask_ops import (

@@ -16,7 +16,6 @@ call per (image, class, round).  Here the same artifact feeds:
 
 from __future__ import annotations
 
-from functools import partial
 from pathlib import Path
 from typing import List, Optional, Tuple, Union
 
@@ -29,7 +28,6 @@ from samcarriestheburden_tpu.data.h5io import EmbeddingReader
 from samcarriestheburden_tpu.engine.postprocess import postprocess_to_grid
 from samcarriestheburden_tpu.engine.prompts import Prompt
 from samcarriestheburden_tpu.models import convert, mask_decoder, prompt_encoder
-from samcarriestheburden_tpu.models.sam import postprocess_masks
 from samcarriestheburden_tpu.ops.resize import scale_box, scale_coords
 
 KNOWN_PROMPTS = ("pos_points", "neg_points", "box")

@@ -12,7 +12,7 @@ img_encoder_img_size file attrs)."""
 from __future__ import annotations
 
 from pathlib import Path
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -20,7 +20,7 @@ import numpy as np
 
 from samcarriestheburden_tpu.data.h5io import EmbeddingWriter
 from samcarriestheburden_tpu.models.sam import SamModel
-from samcarriestheburden_tpu.ops.resize import get_preprocess_shape, resize_longest_side_np
+from samcarriestheburden_tpu.ops.resize import resize_longest_side_np
 from samcarriestheburden_tpu.parallel import mesh as pmesh
 
 

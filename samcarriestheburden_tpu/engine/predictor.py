@@ -8,7 +8,6 @@ drop-in compatibility)."""
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Tuple
 
 import jax

@@ -21,8 +21,7 @@ import numpy as np
 
 from samcarriestheburden_tpu.ops.mask_ops import batched_mask_to_box
 from samcarriestheburden_tpu.ops.resize import (
-    get_preprocess_shape, pad_bottom_right, resize_bilinear, scale_box,
-    scale_coords)
+    get_preprocess_shape, pad_bottom_right, resize_bilinear)
 
 
 @dataclass

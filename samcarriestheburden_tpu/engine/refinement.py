@@ -29,7 +29,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from samcarriestheburden_tpu.config import RefineConfig
 from samcarriestheburden_tpu.engine.decoder_head import SamMaskDecoderHead
 from samcarriestheburden_tpu.engine.postprocess import postprocess_to_grid
 from samcarriestheburden_tpu.engine.prompts import extract_prompt_arrays, neg_seed_table

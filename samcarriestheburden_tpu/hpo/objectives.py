@@ -9,11 +9,11 @@ All objectives share the reference's score: mean over the validation split of
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 
-from samcarriestheburden_tpu.hpo.study import GridSampler, Study, create_study
+from samcarriestheburden_tpu.hpo.study import GridSampler, create_study
 
 
 def _predict_probs_fn(unet_cfg, params):

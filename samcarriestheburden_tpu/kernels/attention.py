@@ -22,9 +22,8 @@ Design notes (pallas_guide.md):
 
 from __future__ import annotations
 
-import math
 from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -10,10 +10,7 @@ Checkpoints may be:
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Optional
-
 import jax
-import numpy as np
 
 from samcarriestheburden_tpu.config import (
     SamConfig, sam_vit_b_config, sam_vit_h_config, sam_vit_l_config,

@@ -19,9 +19,7 @@ TPU-first design notes
 
 from __future__ import annotations
 
-import math
-from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -29,7 +27,7 @@ import numpy as np
 
 from samcarriestheburden_tpu.config import ImageEncoderConfig
 from samcarriestheburden_tpu.models.common import (
-    conv2d, conv2d_init, gelu, layer_norm, layer_norm_2d, layer_norm_init,
+    conv2d, conv2d_init, layer_norm, layer_norm_2d, layer_norm_init,
     linear, linear_init, mlp_block, mlp_block_init)
 
 

@@ -11,9 +11,6 @@ maps to ``jax.checkpoint`` over the double-conv blocks via ``remat=True``.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

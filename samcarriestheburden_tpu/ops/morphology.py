@@ -17,8 +17,6 @@ Structuring elements reproduce skimage.morphology.{square,disk,diamond,star}
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

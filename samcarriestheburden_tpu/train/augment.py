@@ -7,7 +7,6 @@ jitted train step instead of running as a separate no-grad pass."""
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import jax

@@ -13,9 +13,7 @@ axis and XLA inserts the gradient psum."""
 
 from __future__ import annotations
 
-import math
-from dataclasses import dataclass, field
-from functools import partial
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 
 import jax
