@@ -62,6 +62,7 @@ def main():
     parser.add_argument("--model", default="vit_h",
                         choices=["vit_b", "vit_l", "vit_h"])
     parser.add_argument("--batch", type=int, default=2)
+    parser.add_argument("--attention", choices=["xla", "pallas"], default="xla")
     parser.add_argument("--iters", type=int, default=5)
     args = parser.parse_args()
 
@@ -98,7 +99,12 @@ def main():
     rng = np.random.default_rng(0)
 
     # ---- encoder throughput --------------------------------------------
-    encode = make_encode_batch(model, dtype=dtype)
+    attention_impl = None
+    if args.attention == "pallas":
+        from samcarriestheburden_tpu.kernels.attention import attention_apply_pallas
+
+        attention_impl = attention_apply_pallas
+    encode = make_encode_batch(model, dtype=dtype, attention_impl=attention_impl)
     imgs = jnp.asarray(rng.integers(0, 255, (batch, 3, size, size)), jnp.uint8)
     sizes = jnp.tile(jnp.asarray([[size, int(size * 0.7)]], jnp.int32), (batch, 1))
     t_encode = _time_it(lambda a, b: encode(model.params, a, b), imgs, sizes,
@@ -154,6 +160,7 @@ def main():
             "embed_images_per_sec": round(embed_per_sec, 4),
             "refined_masks_per_sec": round(masks_per_sec, 2),
             "encoder_batch": batch,
+            "attention": args.attention,
             "encoder_dtype": str(dtype.__name__ if hasattr(dtype, "__name__")
                                  else dtype),
             "platform": jax.devices()[0].platform,

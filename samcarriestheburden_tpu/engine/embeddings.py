@@ -34,13 +34,19 @@ def load_image_rgb(path) -> np.ndarray:
     return cv2.cvtColor(img, cv2.COLOR_GRAY2RGB)
 
 
-def make_encode_batch(model: SamModel, dtype=jnp.bfloat16):
+def make_encode_batch(model: SamModel, dtype=jnp.bfloat16,
+                      attention_impl=None):
     """jitted (B, 3, S, S) raw zero-padded uint8 batch + (B, 2) input sizes
     -> (B, 256, G, G) embeddings.  Normalise-then-pad semantics via validity
-    masking (sam.py:164-174)."""
+    masking (sam.py:164-174).  ``attention_impl`` selects the encoder
+    attention kernel (default XLA; pass kernels.attention.attention_apply_pallas
+    for the fused Pallas path)."""
+    from samcarriestheburden_tpu.models import image_encoder
+
     size = model.img_size
     mean = jnp.asarray(model.cfg.pixel_mean, jnp.float32).reshape(1, -1, 1, 1)
     std = jnp.asarray(model.cfg.pixel_std, jnp.float32).reshape(1, -1, 1, 1)
+    impl = attention_impl or image_encoder.attention_apply
 
     @jax.jit
     def encode(params, imgs, input_sizes):
@@ -50,10 +56,9 @@ def make_encode_batch(model: SamModel, dtype=jnp.bfloat16):
                  & (iw[None] < input_sizes[:, 1, None, None]))
         x = (imgs.astype(jnp.float32) - mean) / std
         x = x * valid[:, None]
-        from samcarriestheburden_tpu.models import image_encoder
-
         return image_encoder.apply(params["image_encoder"],
-                                   model.cfg.image_encoder, x, dtype=dtype)
+                                   model.cfg.image_encoder, x, dtype=dtype,
+                                   attention_impl=impl)
 
     return encode
 
