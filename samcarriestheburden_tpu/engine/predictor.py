@@ -20,13 +20,20 @@ from samcarriestheburden_tpu.ops.resize import (
 
 
 class SamPredictor:
-    def __init__(self, sam_model: SamModel, *, dtype=jnp.float32):
+    def __init__(self, sam_model: SamModel, *, dtype=jnp.float32,
+                 attention_impl=None):
         """``dtype``: encoder compute precision (bfloat16 for TPU serving)."""
+        from samcarriestheburden_tpu.engine.embeddings import default_attention_impl
+        from samcarriestheburden_tpu.models import image_encoder
+
         self.model = sam_model
         self.dtype = dtype
+        impl = attention_impl or default_attention_impl()
         self._encode = jax.jit(
-            lambda params, x: self.model.encode_image(
-                self.model.preprocess(x)[None], dtype=dtype))
+            lambda params, x: image_encoder.apply(
+                params["image_encoder"], self.model.cfg.image_encoder,
+                self.model.preprocess(x)[None], dtype=dtype,
+                attention_impl=impl))
         self.reset_image()
 
     # ------------------------------------------------------------------
