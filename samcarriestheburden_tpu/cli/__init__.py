@@ -11,4 +11,7 @@ One module per reference entry point:
   copy_and_process_imgs      <- scripts/copy_and_process_imgs.py
   define_successively_data_subsets <- scripts/define_successively_data_subsets.py
   sanity_check_saved_segmentation  <- scripts/sanity_check_saved_segmentaion.py
+  hpo                        <- seg_processing/hpo_*.py
+  select_pseudo_labels       -> selected_pseudo_labels_500_dsc_*.h5 (consumed by
+                                the mean-teacher dataset; producer absent upstream)
 """

@@ -14,6 +14,7 @@ CLI_MODULES = [
     "save_segmentations", "save_refined_segmentations", "amg",
     "export_decoder", "copy_and_process_imgs",
     "define_successively_data_subsets", "sanity_check_saved_segmentation",
+    "hpo", "select_pseudo_labels",
 ]
 
 
@@ -115,3 +116,29 @@ def test_amg_cli_end_to_end(tmp_path, monkeypatch):
     assert len(pngs) >= 1
     m = cv2.imread(str(pngs[0]), cv2.IMREAD_GRAYSCALE)
     assert m.shape == (160, 200)
+
+
+def test_select_pseudo_labels(tmp_path, monkeypatch):
+    from samcarriestheburden_tpu.cli import select_pseudo_labels as spl
+    from samcarriestheburden_tpu.data.h5io import MaskReader, MaskWriter
+
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.default_rng(0)
+    mdir = tmp_path / "data" / "seg_masks" / "mid"
+    src = mdir / "sam_box_refine_pos_points_neg_points_500.h5"
+    with MaskWriter(src) as w:
+        w.write("good", (rng.random((17, 8, 8)) > 0.5).astype(np.uint8),
+                estimated_dice=np.full(17, 0.9, np.float32))
+        w.write("bad", (rng.random((17, 8, 8)) > 0.5).astype(np.uint8),
+                estimated_dice=np.full(17, 0.3, np.float32))
+        nanish = np.full(17, 0.85, np.float32)
+        nanish[3:] = np.nan  # missing classes don't disqualify
+        w.write("partial", (rng.random((17, 8, 8)) > 0.5).astype(np.uint8),
+                estimated_dice=nanish)
+
+    out = spl.main(["--model_id", "mid",
+                    "--input", "sam_box_refine_pos_points_neg_points_500.h5",
+                    "--threshold", "0.8"])
+    reader = MaskReader(out, check_labels=False)
+    assert sorted(reader.stems()) == ["good", "partial"]
+    assert out.name == "selected_pseudo_labels_500_dsc_08.h5"
