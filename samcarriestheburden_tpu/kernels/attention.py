@@ -84,12 +84,13 @@ def fused_rel_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     assert n == kh * kw, f"N={n} must equal kh*kw={kh * kw}"
     scale = d ** -0.5
     if q_block is None:
-        q_block = n if n <= 1024 else 256
+        q_block = n if n <= 1024 else 512
     assert n % q_block == 0
     if g_block is None:
-        # small windows: batch several groups per program to amortise setup;
-        # big (global) problems: one group per program
-        g_block = 8 if n <= 1024 else 1
+        # small windows: batch several groups per program to amortise the
+        # per-program setup (v5e sweep: 25 > 16 > 8 > 4); big (global)
+        # problems: one group per program (sweep: g_block 1 > 2 > 4)
+        g_block = 25 if n <= 1024 else 1
     while g % g_block:
         g_block -= 1
 
