@@ -61,7 +61,7 @@ def main():
     parser.add_argument("--smoke", action="store_true", help="tiny CPU config")
     parser.add_argument("--model", default="vit_h",
                         choices=["vit_b", "vit_l", "vit_h"])
-    parser.add_argument("--batch", type=int, default=2)
+    parser.add_argument("--batch", type=int, default=4)
     parser.add_argument("--attention", choices=["xla", "pallas", "auto"], default="auto")
     parser.add_argument("--iters", type=int, default=5)
     args = parser.parse_args()
