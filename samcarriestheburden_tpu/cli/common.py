@@ -35,6 +35,8 @@ def hp_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_devices", type=int, default=None,
                    help="data-parallel device count (default: all)")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 forward pass (fp32 master params)")
     return p
 
 
@@ -43,7 +45,8 @@ def train_config_from_args(args, **overrides) -> TrainConfig:
               infer_batch_size=args.infer_batch_size,
               weight_decay=args.weight_decay, epochs=args.epochs,
               data_aug=args.data_aug, lr_scheduler=args.lr_scheduler,
-              n_last_channel=args.n_last_channel)
+              n_last_channel=args.n_last_channel,
+              compute_dtype="bfloat16" if getattr(args, "bf16", False) else "float32")
     kw.update(overrides)
     return TrainConfig(**kw)
 

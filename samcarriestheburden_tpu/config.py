@@ -206,6 +206,9 @@ class TrainConfig(_ConfigBase):
     #: 'shuffle' = shuffled full epochs with drop_last (pseudo-label training,
     #: training_on_pseudo_labels.py:65-66)
     sample_mode: str = "bootstrap"
+    #: forward-pass compute precision: 'float32' (reference parity) or
+    #: 'bfloat16' (TPU mixed precision; params/optimizer/loss stay fp32)
+    compute_dtype: str = "float32"
     # TPU-native additions (absent in reference): data-parallel device count.
     num_devices: int = 1
 

@@ -26,41 +26,44 @@ def affine_grid(theta: jnp.ndarray, hw: Tuple[int, int]) -> jnp.ndarray:
 
 def grid_sample(x: jnp.ndarray, grid: jnp.ndarray, mode: str = "bilinear") -> jnp.ndarray:
     """x: (N, C, H, W); grid: (N, H', W', 2) normalised xy.  Zero padding,
-    align_corners=False (torch F.grid_sample semantics)."""
+    align_corners=False (torch F.grid_sample semantics).
+
+    TPU note: taps are fetched with ``take_along_axis`` over the *linearised*
+    spatial axis — XLA lowers that to an efficient 1-D gather, whereas 2-D
+    advanced indexing produced a general gather that dominated the whole
+    train step (~1.8 s/step measured on v5e)."""
     n, c, h, w = x.shape
+    oh, ow = grid.shape[1:3]
     gx = (grid[..., 0] + 1) * w / 2 - 0.5
     gy = (grid[..., 1] + 1) * h / 2 - 0.5
+    flat = x.reshape(n, c, h * w)
 
-    def gather(img, yi, xi):
-        """img: (C, H, W); zero outside bounds."""
+    def gather(yi, xi):
+        """(N, H', W') integer taps -> (N, C, H', W'); zero outside bounds."""
         valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
-        yc = jnp.clip(yi, 0, h - 1)
-        xc = jnp.clip(xi, 0, w - 1)
-        vals = img[:, yc, xc]  # (C, H', W')
-        return vals * valid[None]
+        lin = (jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1))
+        lin = lin.reshape(n, 1, oh * ow)
+        vals = jnp.take_along_axis(flat, jnp.broadcast_to(lin, (n, c, oh * ow)),
+                                   axis=2)
+        return vals.reshape(n, c, oh, ow) * valid[:, None]
 
     if mode == "nearest":
-        yi = jnp.round(gy).astype(jnp.int32)
-        xi = jnp.round(gx).astype(jnp.int32)
-        return jax.vmap(gather)(x, yi, xi)
+        return gather(jnp.round(gy).astype(jnp.int32),
+                      jnp.round(gx).astype(jnp.int32))
 
     x0 = jnp.floor(gx)
     y0 = jnp.floor(gy)
-    fx = gx - x0
-    fy = gy - y0
+    fx = (gx - x0)[:, None]
+    fy = (gy - y0)[:, None]
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
 
-    def bilerp(img, y0i, x0i, fy, fx):
-        g = lambda yi, xi: gather(img, yi, xi)
-        v00 = g(y0i, x0i)
-        v01 = g(y0i, x0i + 1)
-        v10 = g(y0i + 1, x0i)
-        v11 = g(y0i + 1, x0i + 1)
-        return (v00 * (1 - fy) * (1 - fx) + v01 * (1 - fy) * fx
-                + v10 * fy * (1 - fx) + v11 * fy * fx)
-
-    return jax.vmap(bilerp)(x, y0i, x0i, fy, fx)
+    v00 = gather(y0i, x0i)
+    v01 = gather(y0i, x0i + 1)
+    v10 = gather(y0i + 1, x0i)
+    v11 = gather(y0i + 1, x0i + 1)
+    return (v00 * (1 - fy) * (1 - fx) + v01 * (1 - fy) * fx
+            + v10 * fy * (1 - fx) + v11 * fy * fx)
 
 
 def random_affine(key, x: jnp.ndarray, y: jnp.ndarray, strength: float):

@@ -86,14 +86,24 @@ class UNetTrainer:
         x = (x - GRAZ_IMG_MEAN) / GRAZ_IMG_STD
         if data_aug > 0:
             x, y = random_affine(key, x, y, data_aug)
-        logits = unet.apply(params, self.unet_cfg, x)
+        if self.cfg.compute_dtype == "bfloat16":
+            # mixed precision: bf16 forward, fp32 master params/loss/optimizer
+            p16 = jax.tree.map(
+                lambda a: a.astype(jnp.bfloat16)
+                if a.dtype == jnp.float32 else a, params)
+            logits = unet.apply(p16, self.unet_cfg,
+                                x.astype(jnp.bfloat16)).astype(jnp.float32)
+        else:
+            logits = unet.apply(params, self.unet_cfg, x)
         sp = jax.nn.softplus(-logits)
         per_elem = self.pos_weight * y * sp + (1 - y) * (logits + sp)
         per_sample = jnp.mean(per_elem, axis=(1, 2, 3))
         loss = jnp.sum(per_sample * w) / jnp.sum(w)
         return loss, (logits, y)
 
-    def _train_step_impl(self, params, opt_state, x, y, w, key, lr):
+    def _train_step_impl(self, params, opt_state, x_all, y_all, idx, w, key, lr):
+        x = x_all[idx]
+        y = y_all[idx].astype(jnp.float32)
         (loss, (logits, y_aug)), grads = jax.value_and_grad(
             self._forward_loss, has_aux=True)(params, x, y, w, key,
                                               self.cfg.data_aug)
@@ -103,24 +113,44 @@ class UNetTrainer:
         dice = multilabel_dice(jax.nn.sigmoid(logits) > 0.5, y_aug > 0.5)
         return params, opt_state, loss, dice
 
-    def _eval_step_impl(self, params, x, y, w):
+    def _eval_step_impl(self, params, x_all, y_all, idx, w):
+        x = x_all[idx]
+        y = y_all[idx].astype(jnp.float32)
         loss, (logits, y_out) = self._forward_loss(params, x, y, w, None, 0.0)
         dice = multilabel_dice(jax.nn.sigmoid(logits) > 0.5, y_out > 0.5)
         return loss, dice
 
     # ------------------------------------------------------------------
 
-    def _iter_batches(self, x, y, batch_size):
-        n_dev = 1 if self.mesh is None else self.mesh.devices.size
-        for i in range(0, len(x), batch_size):
-            xb, yb = x[i:i + batch_size], y[i:i + batch_size]
-            xb, n_valid = pmesh.pad_to_multiple(np.asarray(xb), n_dev)
-            yb, _ = pmesh.pad_to_multiple(np.asarray(yb), n_dev)
-            w = (np.arange(len(xb)) < n_valid).astype(np.float32)
+    # ------------------------------------------------------------------
+    # device-resident dataset: the GrazPedWri splits are tiny (64 labelled /
+    # 500 pseudo-labelled images), so the whole split is transferred once
+    # (labels as uint8, 4x smaller) and every step gathers its batch ON
+    # DEVICE from host-sampled indices.  Per-step host->device transfers of
+    # (B, 17, 384, 224) float labels cost ~seconds through a remote tunnel.
+    # ------------------------------------------------------------------
+
+    def _device_data(self, x, y):
+        key = (id(x), id(y), x.shape, y.shape)
+        if getattr(self, "_data_cache_key", None) != key:
+            xd = jnp.asarray(x, jnp.float32)
+            yd = jnp.asarray(np.asarray(y).astype(np.uint8))
             if self.mesh is not None:
-                xb, yb, w = pmesh.shard_batch(
-                    self.mesh, (jnp.asarray(xb), jnp.asarray(yb), jnp.asarray(w)))
-            yield jnp.asarray(xb), jnp.asarray(yb), jnp.asarray(w), int(n_valid)
+                xd, yd = pmesh.replicate(self.mesh, (xd, yd))
+            self._data_cache = (xd, yd)
+            self._data_cache_key = key
+        return self._data_cache
+
+    def _batch_indices(self, n_total, order, batch_size):
+        n_dev = 1 if self.mesh is None else self.mesh.devices.size
+        for i in range(0, len(order), batch_size):
+            idx = order[i:i + batch_size]
+            idx, n_valid = pmesh.pad_to_multiple(np.asarray(idx, np.int32), n_dev)
+            w = (np.arange(len(idx)) < n_valid).astype(np.float32)
+            if self.mesh is not None:
+                idx, w = pmesh.shard_batch(
+                    self.mesh, (jnp.asarray(idx), jnp.asarray(w)))
+            yield jnp.asarray(idx), jnp.asarray(w), int(n_valid)
 
     def train_epoch(self, x: np.ndarray, y: np.ndarray, epoch: int,
                     rng: np.random.Generator = None) -> Tuple[float, np.ndarray]:
@@ -132,28 +162,31 @@ class UNetTrainer:
         cfg = self.cfg
         rng = np.random.default_rng((cfg.seed, epoch))
         if cfg.sample_mode == "bootstrap":
-            idx = rng.integers(0, len(x), cfg.data_sample_per_epoch)
+            order = rng.integers(0, len(x), cfg.data_sample_per_epoch)
         else:  # shuffled full epoch, drop_last (pseudo-label training)
-            idx = rng.permutation(len(x))
-            idx = idx[: (len(idx) // cfg.batch_size) * cfg.batch_size]
+            order = rng.permutation(len(x))
+            order = order[: (len(order) // cfg.batch_size) * cfg.batch_size]
         lr = cosine_lr(jnp.asarray(epoch, jnp.float32), cfg.lr, cfg.epochs,
                        self._eta_min) if cfg.lr_scheduler else jnp.asarray(cfg.lr)
+        xd, yd = self._device_data(x, y)
         losses, dices = [], []
         key = jax.random.PRNGKey(cfg.seed * 100003 + epoch)
-        for step, (xb, yb, w, n_valid) in enumerate(
-                self._iter_batches(x[idx], y[idx], cfg.batch_size)):
+        for idx, w, n_valid in self._batch_indices(len(x), order, cfg.batch_size):
             key, sub = jax.random.split(key)
             self.state.params, self.state.opt_state, loss, dice = self._train_step(
-                self.state.params, self.state.opt_state, xb, yb, w, sub, lr)
+                self.state.params, self.state.opt_state, xd, yd, idx, w, sub, lr)
             losses.append(float(loss))
             dices.append(np.asarray(dice)[:n_valid])
         self.state.epoch = epoch + 1
         return float(np.mean(losses)), np.concatenate(dices)
 
     def evaluate(self, x: np.ndarray, y: np.ndarray) -> Tuple[float, np.ndarray]:
+        xd, yd = self._device_data(x, y)
+        order = np.arange(len(x))
         losses, dices = [], []
-        for xb, yb, w, n_valid in self._iter_batches(x, y, self.cfg.infer_batch_size):
-            loss, dice = self._eval_step(self.state.params, xb, yb, w)
+        for idx, w, n_valid in self._batch_indices(len(x), order,
+                                                   self.cfg.infer_batch_size):
+            loss, dice = self._eval_step(self.state.params, xd, yd, idx, w)
             losses.append(float(loss))
             dices.append(np.asarray(dice)[:n_valid])
         return float(np.mean(losses)), np.concatenate(dices)

@@ -140,3 +140,16 @@ def test_profiling_phase_timer(tmp_path):
     assert rep["encode"]["count"] == 2 and rep["decode"]["count"] == 1
     t.dump(tmp_path / "p.json")
     assert (tmp_path / "p.json").exists()
+
+
+def test_bf16_training(rng):
+    x, y = _toy_data(rng, n=4)
+    cfg = TrainConfig(epochs=3, batch_size=4, data_sample_per_epoch=4,
+                      data_aug=0.0, lr=3e-3, compute_dtype="bfloat16")
+    ucfg = UNetConfig(n_channels=1, n_classes=3, base_channels=4, n_last_channel=4)
+    params, history = train_unet((x, y), (x, y), ucfg, cfg)
+    assert np.isfinite(history[-1]["val_bce"])
+    assert history[-1]["train_bce"] < history[0]["train_bce"]
+    import jax
+    assert all(a.dtype == np.float32 for a in jax.tree.leaves(params)
+               if hasattr(a, "dtype"))
