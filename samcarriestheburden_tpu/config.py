@@ -209,6 +209,10 @@ class TrainConfig(_ConfigBase):
     #: forward-pass compute precision: 'float32' (reference parity) or
     #: 'bfloat16' (TPU mixed precision; params/optimizer/loss stay fp32)
     compute_dtype: str = "float32"
+    #: roll each epoch into one jitted lax.scan (one dispatch/sync per epoch).
+    #: None = auto: on for TPU (per-step dispatch latency dominates there),
+    #: off for CPU (scan triples XLA-CPU compile time for the full U-Net)
+    epoch_scan: Optional[bool] = None
     # TPU-native additions (absent in reference): data-parallel device count.
     num_devices: int = 1
 

@@ -76,6 +76,7 @@ class UNetTrainer:
         self.pos_weight = jnp.asarray(w).reshape(-1, 1, 1)
 
         self._train_step = jax.jit(self._train_step_impl)
+        self._train_epoch_scan = jax.jit(self._train_epoch_scan_impl)
         self._eval_step = jax.jit(self._eval_step_impl)
 
     # ------------------------------------------------------------------
@@ -112,6 +113,30 @@ class UNetTrainer:
         params = optax.apply_updates(params, updates)
         dice = multilabel_dice(jax.nn.sigmoid(logits) > 0.5, y_aug > 0.5)
         return params, opt_state, loss, dice
+
+    def _train_epoch_scan_impl(self, params, opt_state, x_all, y_all,
+                               idx, w, keys, lr):
+        """Whole epoch as one lax.scan over steps (idx/w/keys: (S, B)).
+        One dispatch + one host sync per EPOCH instead of per step — per-step
+        latency through the remote tunnel was ~6x the 110 ms step compute."""
+
+        def step(carry, inp):
+            params, opt_state = carry
+            idx_b, w_b, key = inp
+            x = x_all[idx_b]
+            y = y_all[idx_b].astype(jnp.float32)
+            (loss, (logits, y_aug)), grads = jax.value_and_grad(
+                self._forward_loss, has_aux=True)(params, x, y, w_b, key,
+                                                  self.cfg.data_aug)
+            opt_state.hyperparams["learning_rate"] = lr
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            dice = multilabel_dice(jax.nn.sigmoid(logits) > 0.5, y_aug > 0.5)
+            return (params, opt_state), (loss, dice)
+
+        (params, opt_state), (losses, dices) = jax.lax.scan(
+            step, (params, opt_state), (idx, w, keys))
+        return params, opt_state, losses, dices
 
     def _eval_step_impl(self, params, x_all, y_all, idx, w):
         x = x_all[idx]
@@ -169,16 +194,35 @@ class UNetTrainer:
         lr = cosine_lr(jnp.asarray(epoch, jnp.float32), cfg.lr, cfg.epochs,
                        self._eta_min) if cfg.lr_scheduler else jnp.asarray(cfg.lr)
         xd, yd = self._device_data(x, y)
-        losses, dices = [], []
+        batches = list(self._batch_indices(len(x), order, cfg.batch_size))
+        use_scan = cfg.epoch_scan if cfg.epoch_scan is not None \
+            else jax.default_backend() == "tpu"
+        # identical per-step key chain in both paths (scan == per-step exactly)
         key = jax.random.PRNGKey(cfg.seed * 100003 + epoch)
-        for idx, w, n_valid in self._batch_indices(len(x), order, cfg.batch_size):
+        subs = []
+        for _ in batches:
             key, sub = jax.random.split(key)
-            self.state.params, self.state.opt_state, loss, dice = self._train_step(
-                self.state.params, self.state.opt_state, xd, yd, idx, w, sub, lr)
-            losses.append(float(loss))
-            dices.append(np.asarray(dice)[:n_valid])
+            subs.append(sub)
+        if use_scan:
+            idx = jnp.stack([b[0] for b in batches])      # (S, B)
+            w = jnp.stack([b[1] for b in batches])        # (S, B)
+            keys = jnp.stack(subs)
+            self.state.params, self.state.opt_state, losses, dices = \
+                self._train_epoch_scan(self.state.params, self.state.opt_state,
+                                       xd, yd, idx, w, keys, lr)
+            losses = np.asarray(losses)
+            dices = np.asarray(dices)
+            dice_rows = [dices[s, :b[2]] for s, b in enumerate(batches)]
+        else:
+            losses, dice_rows = [], []
+            for (idx, w, n_valid), sub in zip(batches, subs):
+                self.state.params, self.state.opt_state, loss, dice = \
+                    self._train_step(self.state.params, self.state.opt_state,
+                                     xd, yd, idx, w, sub, lr)
+                losses.append(float(loss))
+                dice_rows.append(np.asarray(dice)[:n_valid])
         self.state.epoch = epoch + 1
-        return float(np.mean(losses)), np.concatenate(dices)
+        return float(np.mean(losses)), np.concatenate(dice_rows)
 
     def evaluate(self, x: np.ndarray, y: np.ndarray) -> Tuple[float, np.ndarray]:
         xd, yd = self._device_data(x, y)

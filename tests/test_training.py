@@ -153,3 +153,20 @@ def test_bf16_training(rng):
     import jax
     assert all(a.dtype == np.float32 for a in jax.tree.leaves(params)
                if hasattr(a, "dtype"))
+
+
+def test_epoch_scan_matches_per_step(rng):
+    """The scan-epoch path must produce the same params as per-step training."""
+    x, y = _toy_data(rng, n=4)
+    ucfg = UNetConfig(n_channels=1, n_classes=3, base_channels=4, n_last_channel=4)
+    out = {}
+    for scan in [False, True]:
+        cfg = TrainConfig(epochs=2, batch_size=2, data_sample_per_epoch=4,
+                          data_aug=0.03, epoch_scan=scan)
+        params, hist = train_unet((x, y), (x, y), ucfg, cfg)
+        out[scan] = (params, hist)
+    import jax
+    for a, b in zip(jax.tree.leaves(out[False][0]), jax.tree.leaves(out[True][0])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    np.testing.assert_allclose(out[False][1][-1]["train_bce"],
+                               out[True][1][-1]["train_bce"], rtol=1e-4)
