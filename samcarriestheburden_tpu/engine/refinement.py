@@ -118,7 +118,6 @@ class SamSegRefiner(SegRefiner):
             self.prompts2use1st = prompts2use
             self.prompts2use2nd = None
             self.self_refine = False
-        self._jit_cache = {}
 
     # -- static prompt-tensor layout ------------------------------------
 
@@ -181,10 +180,19 @@ class SamSegRefiner(SegRefiner):
         return refined, est_dice
 
     def _get_jitted(self, seg_hw):
-        fn = self._jit_cache.get(seg_hw)
+        """Jit cache lives on the decoder head: HPO builds a fresh refiner per
+        trial, but trials sharing (prompt-config, grid) must not recompile."""
+        cache = getattr(self.sam_predictor, "_refine_jit_cache", None)
+        if cache is None:
+            cache = {}
+            self.sam_predictor._refine_jit_cache = cache
+        key = (tuple(self.prompts2use1st),
+               tuple(self.prompts2use2nd) if self.prompts2use2nd else None,
+               seg_hw)
+        fn = cache.get(key)
         if fn is None:
             fn = jax.jit(partial(self._refine_batched, seg_hw=seg_hw))
-            self._jit_cache[seg_hw] = fn
+            cache[key] = fn
         return fn
 
     # -- reference API ---------------------------------------------------
