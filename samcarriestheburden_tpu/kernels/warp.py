@@ -1,0 +1,85 @@
+"""Fused affine-warp (grid_sample) Pallas kernel.
+
+The training augmentation (reference forward_func.py:37-42) is a per-sample
+affine warp.  XLA lowers the bilinear taps to HBM gathers that cost ~480 ms
+per (16, 18, 384, 224) step on v5e — 4× the whole U-Net fwd+bwd.  This kernel
+keeps each sample's channels in VMEM and performs the taps as in-VMEM dynamic
+gathers over the flattened spatial axis, computing the sampling grid from the
+2×3 affine matrix on the fly (no coordinate tensors in HBM).
+
+Semantics match torch ``affine_grid``+``grid_sample`` with
+``align_corners=False`` and zero padding: bilinear for images, nearest for
+label masks (one kernel handles both via ``mode``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _warp_kernel(theta_ref, img_ref, out_ref, *, h: int, w: int, mode: str):
+    c = img_ref.shape[1]
+    th = theta_ref[0]  # (2, 3)
+
+    # normalised output grid, align_corners=False (torch affine_grid)
+    xs = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + 0.5) * 2 / w - 1
+    ys = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + 0.5) * 2 / h - 1
+    gx_n = th[0, 0] * xs + th[0, 1] * ys + th[0, 2]
+    gy_n = th[1, 0] * xs + th[1, 1] * ys + th[1, 2]
+    # normalised -> pixel coords (grid_sample, align_corners=False)
+    gx = (gx_n + 1) * w / 2 - 0.5
+    gy = (gy_n + 1) * h / 2 - 0.5
+
+    img_flat = img_ref[0].reshape(c, h * w)
+
+    def tap(yi, xi):
+        valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+        lin = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
+        lin_flat = lin.reshape(1, h * w)
+        vals = jnp.take_along_axis(img_flat,
+                                   jnp.broadcast_to(lin_flat, (c, h * w)),
+                                   axis=1)
+        return vals.reshape(c, h, w) * valid[None].astype(img_flat.dtype)
+
+    if mode == "nearest":
+        out = tap(jnp.round(gy).astype(jnp.int32), jnp.round(gx).astype(jnp.int32))
+    else:
+        x0 = jnp.floor(gx)
+        y0 = jnp.floor(gy)
+        fx = (gx - x0)[None]
+        fy = (gy - y0)[None]
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+        out = (tap(y0i, x0i) * (1 - fy) * (1 - fx)
+               + tap(y0i, x0i + 1) * (1 - fy) * fx
+               + tap(y0i + 1, x0i) * fy * (1 - fx)
+               + tap(y0i + 1, x0i + 1) * fy * fx)
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("mode", "interpret"))
+def affine_warp(x: jnp.ndarray, theta: jnp.ndarray, mode: str = "bilinear",
+                interpret: bool = False) -> jnp.ndarray:
+    """x: (N, C, H, W); theta: (N, 2, 3) torch affine_grid convention.
+    Returns the warped batch (zero padding outside)."""
+    n, c, h, w = x.shape
+    return pl.pallas_call(
+        partial(_warp_kernel, h=h, w=w, mode=mode),
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, 2, 3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, c, h, w), lambda i: (i, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, c, h, w), lambda i: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(theta, x)

@@ -66,11 +66,20 @@ def grid_sample(x: jnp.ndarray, grid: jnp.ndarray, mode: str = "bilinear") -> jn
             + v10 * fy * (1 - fx) + v11 * fy * fx)
 
 
-def random_affine(key, x: jnp.ndarray, y: jnp.ndarray, strength: float):
+def random_affine(key, x: jnp.ndarray, y: jnp.ndarray, strength: float,
+                  use_pallas: bool = False):
     """Apply the reference's augmentation: one random affine per sample,
-    bilinear on images, nearest on masks (forward_func.py:37-42)."""
+    bilinear on images, nearest on masks (forward_func.py:37-42).
+
+    ``use_pallas`` routes the warp through the fused VMEM-gather kernel
+    (kernels/warp.py) — XLA's HBM gather path costs ~480 ms per training step
+    on TPU for these shapes."""
     n = x.shape[0]
     theta = (jnp.eye(2, 3)[None]
              + jax.random.normal(key, (n, 2, 3)) * strength)
+    if use_pallas:
+        from samcarriestheburden_tpu.kernels.warp import affine_warp
+
+        return affine_warp(x, theta, "bilinear"), affine_warp(y, theta, "nearest")
     grid = affine_grid(theta, x.shape[-2:])
     return grid_sample(x, grid, "bilinear"), grid_sample(y, grid, "nearest")

@@ -86,7 +86,8 @@ class UNetTrainer:
         the weighted mean equals torch's all-element mean on real data."""
         x = (x - GRAZ_IMG_MEAN) / GRAZ_IMG_STD
         if data_aug > 0:
-            x, y = random_affine(key, x, y, data_aug)
+            x, y = random_affine(key, x, y, data_aug,
+                                 use_pallas=jax.default_backend() == "tpu")
         if self.cfg.compute_dtype == "bfloat16":
             # mixed precision: bf16 forward, fp32 master params/loss/optimizer
             p16 = jax.tree.map(
