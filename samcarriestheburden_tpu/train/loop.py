@@ -81,13 +81,19 @@ class UNetTrainer:
 
     # ------------------------------------------------------------------
 
-    def _forward_loss(self, params, x, y, w, key, data_aug):
-        """``w`` (B,) marks real vs padded samples (mesh-divisibility padding);
-        the weighted mean equals torch's all-element mean on real data."""
+    def _augment(self, x, y, key, data_aug):
+        """Normalise + (optionally) warp — outside the grad closure, like the
+        reference's no_grad augmentation block (forward_func.py:34-42); the
+        Pallas warp kernel has no autodiff rule and needs none."""
         x = (x - GRAZ_IMG_MEAN) / GRAZ_IMG_STD
         if data_aug > 0:
             x, y = random_affine(key, x, y, data_aug,
                                  use_pallas=jax.default_backend() == "tpu")
+        return x, y
+
+    def _forward_loss(self, params, x, y, w):
+        """``w`` (B,) marks real vs padded samples (mesh-divisibility padding);
+        the weighted mean equals torch's all-element mean on real data."""
         if self.cfg.compute_dtype == "bfloat16":
             # mixed precision: bf16 forward, fp32 master params/loss/optimizer
             p16 = jax.tree.map(
@@ -106,9 +112,9 @@ class UNetTrainer:
     def _train_step_impl(self, params, opt_state, x_all, y_all, idx, w, key, lr):
         x = x_all[idx]
         y = y_all[idx].astype(jnp.float32)
+        x, y = self._augment(x, y, key, self.cfg.data_aug)
         (loss, (logits, y_aug)), grads = jax.value_and_grad(
-            self._forward_loss, has_aux=True)(params, x, y, w, key,
-                                              self.cfg.data_aug)
+            self._forward_loss, has_aux=True)(params, x, y, w)
         opt_state.hyperparams["learning_rate"] = lr
         updates, opt_state = self.optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -126,9 +132,9 @@ class UNetTrainer:
             idx_b, w_b, key = inp
             x = x_all[idx_b]
             y = y_all[idx_b].astype(jnp.float32)
+            x, y = self._augment(x, y, key, self.cfg.data_aug)
             (loss, (logits, y_aug)), grads = jax.value_and_grad(
-                self._forward_loss, has_aux=True)(params, x, y, w_b, key,
-                                                  self.cfg.data_aug)
+                self._forward_loss, has_aux=True)(params, x, y, w_b)
             opt_state.hyperparams["learning_rate"] = lr
             updates, opt_state = self.optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
@@ -142,7 +148,8 @@ class UNetTrainer:
     def _eval_step_impl(self, params, x_all, y_all, idx, w):
         x = x_all[idx]
         y = y_all[idx].astype(jnp.float32)
-        loss, (logits, y_out) = self._forward_loss(params, x, y, w, None, 0.0)
+        x = (x - GRAZ_IMG_MEAN) / GRAZ_IMG_STD
+        loss, (logits, y_out) = self._forward_loss(params, x, y, w)
         dice = multilabel_dice(jax.nn.sigmoid(logits) > 0.5, y_out > 0.5)
         return loss, dice
 
