@@ -21,7 +21,10 @@ from samcarriestheburden_tpu.models.common import (
 
 
 def _leaky_relu(x):
-    return jax.nn.leaky_relu(x, negative_slope=0.01)
+    # explicit formula: jax.nn.leaky_relu is a custom_jvp closed call that
+    # trips a jax-0.9 lowering-cache KeyError when an epoch-scan also contains
+    # a Pallas kernel (mlir._lower_jaxpr_to_fun_cached 'closed_call')
+    return jnp.where(x >= 0, x, 0.01 * x)
 
 
 def _double_conv_init(key, in_ch, out_ch, mid_ch=None):

@@ -77,6 +77,7 @@ class UNetTrainer:
 
         self._train_step = jax.jit(self._train_step_impl)
         self._train_epoch_scan = jax.jit(self._train_epoch_scan_impl)
+        self._gather_augment = jax.jit(self._gather_augment_impl)
         self._eval_step = jax.jit(self._eval_step_impl)
 
     # ------------------------------------------------------------------
@@ -121,18 +122,46 @@ class UNetTrainer:
         dice = multilabel_dice(jax.nn.sigmoid(logits) > 0.5, y_aug > 0.5)
         return params, opt_state, loss, dice
 
-    def _train_epoch_scan_impl(self, params, opt_state, x_all, y_all,
-                               idx, w, keys, lr):
-        """Whole epoch as one lax.scan over steps (idx/w/keys: (S, B)).
-        One dispatch + one host sync per EPOCH instead of per step — per-step
-        latency through the remote tunnel was ~6x the 110 ms step compute."""
+    def _gather_augment_impl(self, x_all, y_all, idx, keys):
+        """Gather + normalise + warp one whole epoch (idx: (S, B); keys: (S, 2)).
+        Runs as its own jit so the Pallas warp never sits inside the epoch
+        scan (jax-0.9 trips a lowering-cache KeyError on scan+pallas+grad)."""
+        s, b = idx.shape
+        x = x_all[idx.reshape(-1)]
+        y = y_all[idx.reshape(-1)].astype(jnp.float32)
+        x = (x - GRAZ_IMG_MEAN) / GRAZ_IMG_STD
+        if self.cfg.data_aug > 0:
+            # one theta per (step, sample): per-step normal draws, concatenated
+            thetas = jnp.concatenate([
+                jnp.eye(2, 3)[None]
+                + jax.random.normal(keys[i], (b, 2, 3)) * self.cfg.data_aug
+                for i in range(s)])
+            use_pallas = jax.default_backend() == "tpu"
+            if use_pallas:
+                from samcarriestheburden_tpu.kernels.warp import affine_warp
+
+                x = affine_warp(x, thetas, "bilinear")
+                y = affine_warp(y, thetas, "nearest")
+            else:
+                from samcarriestheburden_tpu.train.augment import (
+                    affine_grid, grid_sample)
+
+                grid = affine_grid(thetas, x.shape[-2:])
+                x = grid_sample(x, grid, "bilinear")
+                y = grid_sample(y, grid, "nearest")
+        xs = x.reshape(s, b, *x.shape[1:])
+        ys = y.reshape(s, b, *y.shape[1:])
+        return xs, ys
+
+    def _train_epoch_scan_impl(self, params, opt_state, xs, ys, w, lr):
+        """Whole epoch as one lax.scan over pre-augmented steps
+        (xs/ys: (S, B, ...), w: (S, B)).  One dispatch + one host sync per
+        EPOCH instead of per step — per-step latency through the remote tunnel
+        was ~6x the 110 ms step compute."""
 
         def step(carry, inp):
             params, opt_state = carry
-            idx_b, w_b, key = inp
-            x = x_all[idx_b]
-            y = y_all[idx_b].astype(jnp.float32)
-            x, y = self._augment(x, y, key, self.cfg.data_aug)
+            x, y, w_b = inp
             (loss, (logits, y_aug)), grads = jax.value_and_grad(
                 self._forward_loss, has_aux=True)(params, x, y, w_b)
             opt_state.hyperparams["learning_rate"] = lr
@@ -142,7 +171,7 @@ class UNetTrainer:
             return (params, opt_state), (loss, dice)
 
         (params, opt_state), (losses, dices) = jax.lax.scan(
-            step, (params, opt_state), (idx, w, keys))
+            step, (params, opt_state), (xs, ys, w))
         return params, opt_state, losses, dices
 
     def _eval_step_impl(self, params, x_all, y_all, idx, w):
@@ -215,9 +244,10 @@ class UNetTrainer:
             idx = jnp.stack([b[0] for b in batches])      # (S, B)
             w = jnp.stack([b[1] for b in batches])        # (S, B)
             keys = jnp.stack(subs)
+            xs, ys = self._gather_augment(xd, yd, idx, keys)
             self.state.params, self.state.opt_state, losses, dices = \
                 self._train_epoch_scan(self.state.params, self.state.opt_state,
-                                       xd, yd, idx, w, keys, lr)
+                                       xs, ys, w, lr)
             losses = np.asarray(losses)
             dices = np.asarray(dices)
             dice_rows = [dices[s, :b[2]] for s, b in enumerate(batches)]
