@@ -24,27 +24,40 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _warp_kernel(theta_ref, img_ref, out_ref, *, h: int, w: int, mode: str):
     c = img_ref.shape[1]
-    th = theta_ref[0]  # (2, 3)
+    # SMEM loads must be scalar on hardware: read the 2x3 theta element-wise
+    t00 = theta_ref[0, 0, 0]
+    t01 = theta_ref[0, 0, 1]
+    t02 = theta_ref[0, 0, 2]
+    t10 = theta_ref[0, 1, 0]
+    t11 = theta_ref[0, 1, 1]
+    t12 = theta_ref[0, 1, 2]
 
     # normalised output grid, align_corners=False (torch affine_grid)
-    xs = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + 0.5) * 2 / w - 1
-    ys = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + 0.5) * 2 / h - 1
-    gx_n = th[0, 0] * xs + th[0, 1] * ys + th[0, 2]
-    gy_n = th[1, 0] * xs + th[1, 1] * ys + th[1, 2]
+    xs = (jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).astype(jnp.float32)
+          + 0.5) * 2 / w - 1
+    ys = (jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).astype(jnp.float32)
+          + 0.5) * 2 / h - 1
+    gx_n = t00 * xs + t01 * ys + t02
+    gy_n = t10 * xs + t11 * ys + t12
     # normalised -> pixel coords (grid_sample, align_corners=False)
     gx = (gx_n + 1) * w / 2 - 0.5
     gy = (gy_n + 1) * h / 2 - 0.5
 
-    img_flat = img_ref[0].reshape(c, h * w)
+    # Mosaic's dynamic_gather needs a 2-D operand with matching index shape
+    # and mis-lowers a leading dim of 1 — duplicate single-channel images.
+    cg = max(c, 2)
+    img2 = img_ref[0].reshape(c, h * w)
+    if c == 1:
+        img2 = jnp.concatenate([img2, img2], axis=0)
+    img_flat = img2  # (cg, h*w)
 
     def tap(yi, xi):
         valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
         lin = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
-        lin_flat = lin.reshape(1, h * w)
-        vals = jnp.take_along_axis(img_flat,
-                                   jnp.broadcast_to(lin_flat, (c, h * w)),
-                                   axis=1)
-        return vals.reshape(c, h, w) * valid[None].astype(img_flat.dtype)
+        idx = jnp.broadcast_to(lin.reshape(1, h * w), (cg, h * w))
+        vals = jnp.take_along_axis(img_flat, idx, axis=1)[:c]
+        return (vals.reshape(c, h, w)
+                * valid[None].astype(img_flat.dtype))
 
     if mode == "nearest":
         out = tap(jnp.round(gy).astype(jnp.int32), jnp.round(gx).astype(jnp.int32))
