@@ -18,6 +18,12 @@ Mosaic constraints shaped the implementation (all discovered on hardware):
 Semantics match torch ``affine_grid``+``grid_sample`` with
 ``align_corners=False`` and zero padding: bilinear for images, nearest for
 label masks.
+
+STATUS: interpret-mode verified; **not yet runnable on hardware** — Mosaic's
+``tpu.dynamic_gather`` only permutes lanes within a single vreg ("Multiple
+source vregs along gather dimension"), so a whole-image gather cannot lower.
+The trainer keeps the XLA gather path; revisit with a row-band DMA + in-band
+gather formulation (or await Mosaic cross-vreg gather support).
 """
 
 from __future__ import annotations

@@ -88,8 +88,7 @@ class UNetTrainer:
         Pallas warp kernel has no autodiff rule and needs none."""
         x = (x - GRAZ_IMG_MEAN) / GRAZ_IMG_STD
         if data_aug > 0:
-            x, y = random_affine(key, x, y, data_aug,
-                                 use_pallas=jax.default_backend() == "tpu")
+            x, y = random_affine(key, x, y, data_aug)
         return x, y
 
     def _forward_loss(self, params, x, y, w):
@@ -136,19 +135,12 @@ class UNetTrainer:
                 jnp.eye(2, 3)[None]
                 + jax.random.normal(keys[i], (b, 2, 3)) * self.cfg.data_aug
                 for i in range(s)])
-            use_pallas = jax.default_backend() == "tpu"
-            if use_pallas:
-                from samcarriestheburden_tpu.kernels.warp import affine_warp
+            from samcarriestheburden_tpu.train.augment import (
+                affine_grid, grid_sample)
 
-                x = affine_warp(x, thetas, "bilinear")
-                y = affine_warp(y, thetas, "nearest")
-            else:
-                from samcarriestheburden_tpu.train.augment import (
-                    affine_grid, grid_sample)
-
-                grid = affine_grid(thetas, x.shape[-2:])
-                x = grid_sample(x, grid, "bilinear")
-                y = grid_sample(y, grid, "nearest")
+            grid = affine_grid(thetas, x.shape[-2:])
+            x = grid_sample(x, grid, "bilinear")
+            y = grid_sample(y, grid, "nearest")
         xs = x.reshape(s, b, *x.shape[1:])
         ys = y.reshape(s, b, *y.shape[1:])
         return xs, ys
