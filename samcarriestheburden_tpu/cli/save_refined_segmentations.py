@@ -19,6 +19,12 @@ def main(argv=None):
     p.add_argument("--n_files", type=str, default="all", help="'500' or 'all'")
     p.add_argument("--data_root", type=str, default="data")
     p.add_argument("--sam_type", choices=["SAM", "MedSAM"], default="SAM")
+    p.add_argument("--sam_checkpoint", type=str, default=None,
+                   help="override the sam_type checkpoint convention")
+    p.add_argument("--sam_model_type", type=str, default=None,
+                   help="override: vit_h|vit_l|vit_b|vit_t")
+    p.add_argument("--embeddings", type=str, default=None,
+                   help="override the embeddings h5 path")
     # authors' HPO-selected refinement config (reference :25-31)
     p.add_argument("--prompt1st", nargs="*", default=["box"])
     p.add_argument("--prompt2nd", nargs="*", default=["pos_points", "neg_points"])
@@ -56,8 +62,16 @@ def main(argv=None):
         "struct_elem": args.struct_elem,
         "radius": args.radius,
     }
-    sam_refiner = SamSegRefiner(args.sam_type, None, refine_params["prompts2use"],
-                                data_root=args.data_root)
+    if args.sam_checkpoint is not None:
+        from samcarriestheburden_tpu.engine.decoder_head import SamMaskDecoderHead
+
+        head = SamMaskDecoderHead(args.sam_checkpoint, args.sam_model_type,
+                                  args.embeddings)
+        sam_refiner = SamSegRefiner(head, None, refine_params["prompts2use"])
+    else:
+        sam_refiner = SamSegRefiner(args.sam_type, None,
+                                    refine_params["prompts2use"],
+                                    data_root=args.data_root)
     seg_processor = SegEnhance(sam_refiner, refine_params["ccl_selection"],
                                refine_params["morph_op"],
                                refine_params["struct_elem"],

@@ -55,12 +55,17 @@ class SamMaskDecoderHead:
             assert self.reader.checkpoint == name, "SAM checkpoint mismatch"
 
         if params is None:
-            sd = convert.load_torch_state_dict(sam_checkpoint)
-            params = {
-                "prompt_encoder": convert.prompt_encoder_params_from_torch(sd),
-                "mask_decoder": convert.mask_decoder_params_from_torch(
-                    sd, self.cfg.mask_decoder),
-            }
+            if Path(sam_checkpoint).suffix == ".npz":  # native checkpoint
+                from samcarriestheburden_tpu.models import modelio
+
+                params = modelio.load_params(sam_checkpoint)
+            else:  # published torch weights
+                sd = convert.load_torch_state_dict(sam_checkpoint)
+                params = {
+                    "prompt_encoder": convert.prompt_encoder_params_from_torch(sd),
+                    "mask_decoder": convert.mask_decoder_params_from_torch(
+                        sd, self.cfg.mask_decoder),
+                }
         self.params = jax.tree.map(jnp.asarray, {
             "prompt_encoder": params["prompt_encoder"],
             "mask_decoder": params["mask_decoder"],
