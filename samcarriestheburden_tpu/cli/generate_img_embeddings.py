@@ -26,6 +26,8 @@ def main(argv=None):
     p.add_argument("--num_devices", type=int, default=None)
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--limit", type=int, default=None, help="encode only N images")
+    p.add_argument("--resume", action="store_true",
+                   help="continue an interrupted run (skip stems already in the h5)")
     args = p.parse_args(argv)
 
     if args.cpu:
@@ -52,7 +54,8 @@ def main(argv=None):
     precompute_embeddings(model, files, out, Path(ckpt).name,
                           batch_size=args.batch_size, dtype=dtype,
                           mesh=maybe_mesh(args),
-                          medsam=(args.sam_type == "medsam"))
+                          medsam=(args.sam_type == "medsam"),
+                          resume=args.resume)
     print(f"wrote {out}")
 
 

@@ -26,11 +26,23 @@ from samcarriestheburden_tpu.config import BONE_LABEL_MAPPING
 
 
 class EmbeddingWriter:
-    def __init__(self, path, checkpoint_name: str, img_encoder_img_size: int = 1024):
+    def __init__(self, path, checkpoint_name: str, img_encoder_img_size: int = 1024,
+                 append: bool = False):
+        """``append=True`` reopens an interrupted run; existing stems are
+        preserved and listed in :meth:`existing_stems` (crash-resumable
+        precompute — the reference restarts the whole stage)."""
         Path(path).parent.mkdir(parents=True, exist_ok=True)
-        self.f = h5py.File(path, "w")
+        mode = "a" if (append and Path(path).exists()) else "w"
+        self.f = h5py.File(path, mode)
+        if mode == "a":
+            assert self.f.attrs["checkpoint"] == checkpoint_name,                 "resume with a different checkpoint"
         self.f.attrs["checkpoint"] = checkpoint_name
         self.f.attrs["img_encoder_img_size"] = img_encoder_img_size
+
+    def existing_stems(self):
+        if "img_embedding" not in self.f:
+            return set()
+        return set(self.f["img_embedding"].keys())
 
     def write(self, stem: str, features: np.ndarray,
               original_size: Tuple[int, int], input_size: Tuple[int, int],

@@ -102,7 +102,7 @@ def precompute_embeddings(model: SamModel, image_files: Sequence,
                           out_h5, checkpoint_name: str, *,
                           batch_size: int = 8, dtype=jnp.bfloat16,
                           mesh=None, progress: bool = True,
-                          medsam: bool = False) -> None:
+                          medsam: bool = False, resume: bool = False) -> None:
     """Encode every image and write the embeddings h5.
 
     ``medsam=True`` switches to the MedSAM preprocessing convention

@@ -117,3 +117,19 @@ def test_export_symbolic_shapes(model, tmp_path):
             np.zeros((b,), np.float32),
             np.asarray([600, 800], np.int32))
         assert np.asarray(outs[0]).shape == (b, 4, 128, 128)
+
+
+def test_precompute_resume(model, tmp_path):
+    """An interrupted precompute resumes without recomputing existing stems."""
+    files = _write_pngs(tmp_path, n=4)
+    out = tmp_path / "emb_resume.h5"
+    precompute_embeddings(model, files[:2], out, "tiny.pth", batch_size=2,
+                          dtype=jnp.float32, progress=False)
+    precompute_embeddings(model, files, out, "tiny.pth", batch_size=2,
+                          dtype=jnp.float32, progress=False, resume=True)
+    reader = EmbeddingReader(out)
+    assert sorted(reader.stems()) == sorted(f.stem for f in files)
+    reader.close()  # h5py refuses mixed-mode reopen of a held file
+    with pytest.raises(AssertionError):
+        precompute_embeddings(model, files, out, "other.pth", batch_size=2,
+                              dtype=jnp.float32, progress=False, resume=True)
