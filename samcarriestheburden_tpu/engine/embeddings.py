@@ -107,16 +107,12 @@ def precompute_embeddings(model: SamModel, image_files: Sequence,
 
     ``medsam=True`` switches to the MedSAM preprocessing convention
     (cv2 cubic square resize + min-max normalise, reference
-    generate_img_embeddings.py:49-64)."""
+    generate_img_embeddings.py:49-64).  ``resume=True`` reopens an interrupted
+    run, skipping stems already stored."""
     size = model.img_size
     encode = (make_encode_batch_medsam(model, dtype) if medsam
               else make_encode_batch(model, dtype))
     files: List[Path] = [Path(f) for f in image_files]
-    it = range(0, len(files), batch_size)
-    if progress:
-        from tqdm import tqdm
-
-        it = tqdm(it, unit="batch", desc="Saving embeddings")
 
     def load_chunk(chunk):
         batch = np.zeros((batch_size, 3, size, size), np.uint8)
@@ -137,7 +133,15 @@ def precompute_embeddings(model: SamModel, image_files: Sequence,
             orig_sizes.append(img.shape[:2])
         return batch, sizes, orig_sizes
 
-    with EmbeddingWriter(out_h5, checkpoint_name, size) as writer:
+    with EmbeddingWriter(out_h5, checkpoint_name, size, append=resume) as writer:
+        if resume:
+            done = writer.existing_stems()
+            files = [f for f in files if f.stem not in done]
+        it = range(0, len(files), batch_size)
+        if progress:
+            from tqdm import tqdm
+
+            it = tqdm(it, unit="batch", desc="Saving embeddings")
         pending = None  # software pipeline: device encodes batch i while the
         # host loads batch i+1 and writes batch i-1 (jax dispatch is async)
 
