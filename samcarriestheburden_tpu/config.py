@@ -213,6 +213,10 @@ class TrainConfig(_ConfigBase):
     #: None = auto: on for TPU (per-step dispatch latency dominates there),
     #: off for CPU (scan triples XLA-CPU compile time for the full U-Net)
     epoch_scan: Optional[bool] = None
+    #: augmentation warp implementation: None = auto ('matmul' on TPU — the
+    #: gather-free MXU formulation, train/augment.py — 'gather' elsewhere);
+    #: explicit 'matmul' / 'gather' / 'pallas' to force
+    aug_method: Optional[str] = None
     # TPU-native additions (absent in reference): data-parallel device count.
     num_devices: int = 1
 

@@ -82,13 +82,21 @@ class UNetTrainer:
 
     # ------------------------------------------------------------------
 
+    @property
+    def _aug_method(self) -> str:
+        """'matmul' (gather-free MXU warp) on TPU, reference 4-tap 'gather'
+        elsewhere — unless forced via cfg.aug_method."""
+        if self.cfg.aug_method is not None:
+            return self.cfg.aug_method
+        return "matmul" if jax.default_backend() == "tpu" else "gather"
+
     def _augment(self, x, y, key, data_aug):
         """Normalise + (optionally) warp — outside the grad closure, like the
         reference's no_grad augmentation block (forward_func.py:34-42); the
-        Pallas warp kernel has no autodiff rule and needs none."""
+        warp has no autodiff rule and needs none."""
         x = (x - GRAZ_IMG_MEAN) / GRAZ_IMG_STD
         if data_aug > 0:
-            x, y = random_affine(key, x, y, data_aug)
+            x, y = random_affine(key, x, y, data_aug, method=self._aug_method)
         return x, y
 
     def _forward_loss(self, params, x, y, w):
@@ -123,27 +131,24 @@ class UNetTrainer:
 
     def _gather_augment_impl(self, x_all, y_all, idx, keys):
         """Gather + normalise + warp one whole epoch (idx: (S, B); keys: (S, 2)).
-        Runs as its own jit so the Pallas warp never sits inside the epoch
-        scan (jax-0.9 trips a lowering-cache KeyError on scan+pallas+grad)."""
-        s, b = idx.shape
-        x = x_all[idx.reshape(-1)]
-        y = y_all[idx.reshape(-1)].astype(jnp.float32)
+        Runs as its own jit so an accelerator warp kernel never sits inside
+        the epoch scan (jax-0.9 trips a lowering-cache KeyError on
+        scan+pallas+grad); the warp maps over steps so per-block weight
+        matrices stay batch-sized regardless of epoch length."""
+        x = x_all[idx]                               # (S, B, 1, H, W)
+        y = y_all[idx].astype(jnp.float32)
         x = (x - GRAZ_IMG_MEAN) / GRAZ_IMG_STD
         if self.cfg.data_aug > 0:
-            # one theta per (step, sample): per-step normal draws, concatenated
-            thetas = jnp.concatenate([
-                jnp.eye(2, 3)[None]
-                + jax.random.normal(keys[i], (b, 2, 3)) * self.cfg.data_aug
-                for i in range(s)])
-            from samcarriestheburden_tpu.train.augment import (
-                affine_grid, grid_sample)
+            method = self._aug_method
 
-            grid = affine_grid(thetas, x.shape[-2:])
-            x = grid_sample(x, grid, "bilinear")
-            y = grid_sample(y, grid, "nearest")
-        xs = x.reshape(s, b, *x.shape[1:])
-        ys = y.reshape(s, b, *y.shape[1:])
-        return xs, ys
+            def one_step(args):
+                xs_, ys_, key = args
+                # per-step key chain identical to the per-step path
+                return random_affine(key, xs_, ys_, self.cfg.data_aug,
+                                     method=method)
+
+            x, y = jax.lax.map(one_step, (x, y, keys))
+        return x, y
 
     def _train_epoch_scan_impl(self, params, opt_state, xs, ys, w, lr):
         """Whole epoch as one lax.scan over pre-augmented steps

@@ -34,6 +34,51 @@ def test_grid_sample_matches_torch(rng, mode):
         np.testing.assert_allclose(ours, theirs, atol=1e-5)
 
 
+def test_grid_sample_matmul_matches_gather(rng):
+    """The gather-free MXU warp formulation must reproduce the 4-tap path."""
+    from samcarriestheburden_tpu.train.augment import (
+        grid_sample_matmul)
+
+    x = rng.standard_normal((3, 2, 37, 29)).astype(np.float32)
+    theta = (np.eye(2, 3)[None]
+             + rng.standard_normal((3, 2, 3)) * 0.1).astype(np.float32)
+    grid = affine_grid(theta, (37, 29))
+    for mode in ("bilinear", "nearest"):
+        ours = np.asarray(grid_sample_matmul(x, grid, mode, row_block=8))
+        ref = np.asarray(grid_sample(x, np.asarray(grid), mode))
+        np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_grid_sample_matmul_matches_torch(rng):
+    from samcarriestheburden_tpu.train.augment import grid_sample_matmul
+
+    x = rng.standard_normal((2, 3, 16, 12)).astype(np.float32)
+    theta = (np.eye(2, 3)[None]
+             + rng.standard_normal((2, 2, 3)) * 0.1).astype(np.float32)
+    grid_t = F.affine_grid(torch.from_numpy(theta), (2, 3, 16, 12),
+                           align_corners=False)
+    ours = np.asarray(grid_sample_matmul(x, np.asarray(grid_t.numpy()),
+                                         "bilinear", row_block=4))
+    theirs = F.grid_sample(torch.from_numpy(x), grid_t, mode="bilinear",
+                           align_corners=False).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+
+def test_warp_affine_matmul_bitpacking_exact(rng):
+    """Binary multilabel masks warped via the packed-bitfield nearest path
+    must match the per-channel gather warp EXACTLY (δ-matmuls copy values)."""
+    from samcarriestheburden_tpu.train.augment import warp_affine
+
+    x = rng.standard_normal((4, 1, 48, 40)).astype(np.float32)
+    y = (rng.random((4, 17, 48, 40)) > 0.6).astype(np.float32)
+    theta = (np.eye(2, 3)[None]
+             + rng.standard_normal((4, 2, 3)) * 0.08).astype(np.float32)
+    xm, ym = warp_affine(x, y, theta, method="matmul")
+    xg, yg = warp_affine(x, y, theta, method="gather")
+    np.testing.assert_array_equal(np.asarray(ym), np.asarray(yg))
+    np.testing.assert_allclose(np.asarray(xm), np.asarray(xg), atol=1e-5)
+
+
 def test_bce_matches_torch(rng):
     logits = rng.standard_normal((2, 3, 8, 8)).astype(np.float32)
     targets = (rng.random((2, 3, 8, 8)) > 0.5).astype(np.float32)
