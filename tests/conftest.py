@@ -21,6 +21,27 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# Two-tier suite (SURVEY §4 test strategy): the fast tier (`-m "not slow"`)
+# covers every op/module contract in CI time; the slow tier runs the heavy
+# e2e paths (training loops, CLI pipelines, AMG, compile-bound entry checks).
+_SLOW_MODULES = {
+    "test_training", "test_cli", "test_predictor_amg", "test_models_parity",
+    "test_kernels", "test_graft_entry", "test_embeddings_export",
+}
+_SLOW_TESTS = {
+    "test_refiner_batched_matches_sequential_reference_protocol",
+    "test_decoder_head_predict_mask",
+    "test_seg_enhance_pipeline",
+    "test_preprocess_study_end_to_end",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if (item.module.__name__ in _SLOW_MODULES
+                or item.originalname in _SLOW_TESTS):
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture
 def rng():
