@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import argparse
+import contextlib
 
 from samcarriestheburden_tpu.config import TrainConfig
 
@@ -49,6 +50,35 @@ def train_config_from_args(args, **overrides) -> TrainConfig:
               compute_dtype="bfloat16" if getattr(args, "bf16", False) else "float32")
     kw.update(overrides)
     return TrainConfig(**kw)
+
+
+def add_profile_flag(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--profile", nargs="?", const="runs/profile", default=None,
+                   metavar="DIR",
+                   help="capture a jax.profiler device trace plus per-phase "
+                        "wall-clock JSON into DIR (default runs/profile)")
+
+
+@contextlib.contextmanager
+def profiled(profile_dir):
+    """Driver profiling scope: yields a PhaseTimer (or None when profiling is
+    off); on exit writes ``<dir>/phases.json`` and the TensorBoard-loadable
+    device trace captured by jax.profiler."""
+    if not profile_dir:
+        yield None
+        return
+    from pathlib import Path
+
+    from samcarriestheburden_tpu.profiling import PhaseTimer, trace
+
+    timer = PhaseTimer()
+    try:
+        with trace(profile_dir):
+            yield timer
+    finally:
+        timer.dump(Path(profile_dir) / "phases.json")
+        print(f"profile: phase timings -> {profile_dir}/phases.json; "
+              f"device trace -> {profile_dir}")
 
 
 def setup_backend(args) -> None:

@@ -28,6 +28,8 @@ def main(argv=None):
     p.add_argument("--limit", type=int, default=None, help="encode only N images")
     p.add_argument("--resume", action="store_true",
                    help="continue an interrupted run (skip stems already in the h5)")
+    from samcarriestheburden_tpu.cli.common import add_profile_flag, profiled
+    add_profile_flag(p)
     args = p.parse_args(argv)
 
     if args.cpu:
@@ -51,11 +53,12 @@ def main(argv=None):
     if args.limit:
         files = files[: args.limit]
     dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[args.dtype]
-    precompute_embeddings(model, files, out, Path(ckpt).name,
-                          batch_size=args.batch_size, dtype=dtype,
-                          mesh=maybe_mesh(args),
-                          medsam=(args.sam_type == "medsam"),
-                          resume=args.resume)
+    with profiled(args.profile) as timer:
+        precompute_embeddings(model, files, out, Path(ckpt).name,
+                              batch_size=args.batch_size, dtype=dtype,
+                              mesh=maybe_mesh(args),
+                              medsam=(args.sam_type == "medsam"),
+                              resume=args.resume, timer=timer)
     print(f"wrote {out}")
 
 

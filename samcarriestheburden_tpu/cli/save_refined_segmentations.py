@@ -33,6 +33,8 @@ def main(argv=None):
     p.add_argument("--struct_elem", default="square")
     p.add_argument("--radius", type=int, default=8)
     p.add_argument("--cpu", action="store_true")
+    from samcarriestheburden_tpu.cli.common import add_profile_flag, profiled
+    add_profile_flag(p)
     args = p.parse_args(argv)
     if args.cpu:
         import jax
@@ -89,16 +91,24 @@ def main(argv=None):
     out = (Path(args.data_root) / "seg_masks" / args.model_id /
            f"sam_{id_str}_{len(files) if args.n_files != '500' else 500}.h5")
 
-    with MaskWriter(out, attrs={"refine_params": json.dumps(refine_params),
-                                "model_id": args.model_id}) as writer:
+    with profiled(args.profile) as timer, \
+            MaskWriter(out, attrs={"refine_params": json.dumps(refine_params),
+                                   "model_id": args.model_id}) as writer:
+        if timer is None:
+            from samcarriestheburden_tpu.profiling import PhaseTimer
+            timer = PhaseTimer(sync=False)  # no-op accounting
         for name in tqdm(files, unit="img", desc="Refine segmentation"):
-            img = cv2.imread(str(img_dir / f"{name}.png"), cv2.IMREAD_GRAYSCALE)
-            img = cv2.resize(img, (W, H), interpolation=cv2.INTER_LINEAR)
-            x = jnp.asarray(img[None, None].astype(np.float32) / 255.0)
-            y_hat = predict_probs(x)[0]
-            refined, est_dice = seg_processor.enhance(y_hat, name)
-            writer.write(name, np.asarray(refined).astype(np.uint8),
-                         estimated_dice=np.asarray(est_dice))
+            with timer.phase("load+unet"):
+                img = cv2.imread(str(img_dir / f"{name}.png"),
+                                 cv2.IMREAD_GRAYSCALE)
+                img = cv2.resize(img, (W, H), interpolation=cv2.INTER_LINEAR)
+                x = jnp.asarray(img[None, None].astype(np.float32) / 255.0)
+                y_hat = predict_probs(x)[0]
+            with timer.phase("enhance"):
+                refined, est_dice = seg_processor.enhance(y_hat, name)
+            with timer.phase("h5_write"):
+                writer.write(name, np.asarray(refined).astype(np.uint8),
+                             estimated_dice=np.asarray(est_dice))
     print(f"wrote {out}")
 
 

@@ -7,11 +7,13 @@ python -m samcarriestheburden_tpu.cli.train --num_train_samples 43
 from __future__ import annotations
 
 from samcarriestheburden_tpu.cli.common import (
-    hp_parser, maybe_mesh, setup_backend, train_config_from_args)
+    add_profile_flag, hp_parser, maybe_mesh, profiled, setup_backend,
+    train_config_from_args)
 
 
 def main(argv=None):
     parser = hp_parser()
+    add_profile_flag(parser)
     parser.add_argument("--architecture", default="unet", choices=["unet"],
                         help="which architecture to use")
     parser.add_argument("--data_sample_per_epoch", type=int, default=48,
@@ -48,9 +50,12 @@ def main(argv=None):
         hp, data_sample_per_epoch=hp.data_sample_per_epoch,
         num_train_samples=hp.num_train_samples)
 
-    params, history = train_unet((x_tr, y_tr), (x_va, y_va), unet_cfg, train_cfg,
-                                 logger=logger, bone_labels=ds_train.BONE_LABEL,
-                                 mesh=maybe_mesh(hp), progress=True)
+    with profiled(hp.profile) as timer:
+        params, history = train_unet((x_tr, y_tr), (x_va, y_va), unet_cfg,
+                                     train_cfg, logger=logger,
+                                     bone_labels=ds_train.BONE_LABEL,
+                                     mesh=maybe_mesh(hp), progress=True,
+                                     timer=timer)
 
     registry = ModelRegistry(f"{hp.data_root}/model_registry")
     model_id = registry.register(unet_cfg, params, name="final_model",

@@ -102,13 +102,19 @@ def precompute_embeddings(model: SamModel, image_files: Sequence,
                           out_h5, checkpoint_name: str, *,
                           batch_size: int = 8, dtype=jnp.bfloat16,
                           mesh=None, progress: bool = True,
-                          medsam: bool = False, resume: bool = False) -> None:
+                          medsam: bool = False, resume: bool = False,
+                          timer=None) -> None:
     """Encode every image and write the embeddings h5.
 
     ``medsam=True`` switches to the MedSAM preprocessing convention
     (cv2 cubic square resize + min-max normalise, reference
     generate_img_embeddings.py:49-64).  ``resume=True`` reopens an interrupted
-    run, skipping stems already stored."""
+    run, skipping stems already stored.  ``timer`` (an optional
+    profiling.PhaseTimer) accounts load / encode / write phases."""
+    if timer is None:
+        from samcarriestheburden_tpu.profiling import PhaseTimer
+
+        timer = PhaseTimer(sync=False)  # no-op accounting
     size = model.img_size
     encode = (make_encode_batch_medsam(model, dtype) if medsam
               else make_encode_batch(model, dtype))
@@ -147,18 +153,21 @@ def precompute_embeddings(model: SamModel, image_files: Sequence,
 
         def drain(p):
             chunk, sizes, orig_sizes, fut = p
-            feats = np.asarray(fut, np.float32)
-            for i, f in enumerate(chunk):
-                writer.write(f.stem, feats[i:i + 1], orig_sizes[i],
-                             tuple(int(v) for v in np.asarray(sizes)[i]))
+            with timer.phase("fetch+write"):
+                feats = np.asarray(fut, np.float32)
+                for i, f in enumerate(chunk):
+                    writer.write(f.stem, feats[i:i + 1], orig_sizes[i],
+                                 tuple(int(v) for v in np.asarray(sizes)[i]))
 
         for start in it:
             chunk = files[start:start + batch_size]
-            batch, sizes, orig_sizes = load_chunk(chunk)
-            dev_batch, dev_sizes = (pmesh.shard_batch(mesh, (batch, sizes))
-                                    if mesh is not None else (batch, sizes))
-            fut = encode(model.params, jnp.asarray(dev_batch),
-                         jnp.asarray(dev_sizes))
+            with timer.phase("load+resize"):
+                batch, sizes, orig_sizes = load_chunk(chunk)
+            with timer.phase("encode_dispatch"):
+                dev_batch, dev_sizes = (pmesh.shard_batch(mesh, (batch, sizes))
+                                        if mesh is not None else (batch, sizes))
+                fut = encode(model.params, jnp.asarray(dev_batch),
+                             jnp.asarray(dev_sizes))
             if pending is not None:
                 drain(pending)
             pending = (chunk, sizes, orig_sizes, fut)

@@ -48,6 +48,10 @@ class PhaseTimer:
 
                 try:
                     jax.effects_barrier()
+                    # drain pending pure computation too: device execution is
+                    # ordered, so a trivial round-trip syncs the stream
+                    jax.block_until_ready(
+                        jax.device_put(0, jax.devices()[0]))
                 except Exception:
                     pass
             self.totals[name] += time.perf_counter() - t0

@@ -282,13 +282,19 @@ class UNetTrainer:
 def train_unet(train_data, val_data, unet_cfg: UNetConfig, train_cfg: TrainConfig,
                logger=None, bone_labels=None, init_params=None, mesh=None,
                progress: bool = False, checkpoint_dir=None,
-               checkpoint_every: int = 50) -> Tuple[dict, List[Dict]]:
+               checkpoint_every: int = 50, timer=None) -> Tuple[dict, List[Dict]]:
     """Full training driver (reference training.py:64-72).
 
     train_data/val_data: (images (N,1,H,W) f32 in [0,1], masks (N,C,H,W) f32).
     ``checkpoint_dir`` enables periodic Orbax checkpoints + exact resume
-    (absent in the reference, SURVEY §5).  Returns (params, history).
+    (absent in the reference, SURVEY §5).  ``timer`` (an optional
+    profiling.PhaseTimer) accounts train/eval phases.  Returns
+    (params, history).
     """
+    if timer is None:
+        from samcarriestheburden_tpu.profiling import PhaseTimer
+
+        timer = PhaseTimer(sync=False)  # no-op accounting
     trainer = UNetTrainer(unet_cfg, train_cfg, init_params=init_params, mesh=mesh)
     start_epoch = 0
     if checkpoint_dir is not None:
@@ -309,8 +315,10 @@ def train_unet(train_data, val_data, unet_cfg: UNetConfig, train_cfg: TrainConfi
         epochs = tqdm(epochs, desc="training", total=train_cfg.epochs,
                       initial=start_epoch)
     for epoch in epochs:
-        tr_loss, tr_dice = trainer.train_epoch(x_tr, y_tr, epoch)
-        va_loss, va_dice = trainer.evaluate(x_va, y_va)
+        with timer.phase("train_epoch"):
+            tr_loss, tr_dice = trainer.train_epoch(x_tr, y_tr, epoch)
+        with timer.phase("evaluate"):
+            va_loss, va_dice = trainer.evaluate(x_va, y_va)
         rec = {"epoch": epoch, "train_bce": tr_loss,
                "train_dice": float(np.nanmean(tr_dice)),
                "val_bce": va_loss, "val_dice": float(np.nanmean(va_dice)),

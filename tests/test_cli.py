@@ -4,6 +4,7 @@ train → save_segmentations pipeline over the synthetic data root."""
 import contextlib
 import io
 import os
+from pathlib import Path
 
 import numpy as np
 import pytest
@@ -42,9 +43,13 @@ def test_train_and_save_segmentations_pipeline(in_data_root):
 
     model_id = train.main(["--epochs", "2", "--data_sample_per_epoch", "4",
                            "--batch_size", "2", "--n_last_channel", "4",
-                           "--data_aug", "0"])
+                           "--data_aug", "0", "--profile", "runs/prof_test"])
     assert isinstance(model_id, str) and len(model_id) == 32
     assert (in_data_root / "model_registry" / model_id / "model.npz").exists()
+
+    import json
+    phases = json.loads(Path("runs/prof_test/phases.json").read_text())
+    assert phases["train_epoch"]["count"] == 2 and "evaluate" in phases
 
     save_segmentations.main(["--model_id", model_id, "--n_files", "500"])
     out = in_data_root / "seg_masks" / model_id / "raw_segmentations_500.h5"
