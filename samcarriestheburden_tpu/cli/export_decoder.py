@@ -28,6 +28,9 @@ def main(argv=None):
                    help="Static batch size (default: symbolic)")
     p.add_argument("--num-points", type=int, default=None,
                    help="Static point count (default: symbolic)")
+    p.add_argument("--quantize", choices=["bf16", "int8"], default=None,
+                   help="Weight quantization for the exported artifact "
+                        "(reference's dynamic uint8 ONNX quantization analogue)")
     p.add_argument("--validate", action="store_true",
                    help="Round-trip the serialized program and check outputs")
     p.add_argument("--cpu", action="store_true")
@@ -49,7 +52,8 @@ def main(argv=None):
                           return_single_mask=args.return_single_mask,
                           use_stability_score=args.use_stability_score,
                           return_extra_metrics=args.return_extra_metrics,
-                          batch=args.batch, num_points=args.num_points)
+                          batch=args.batch, num_points=args.num_points,
+                          quantize=args.quantize)
     print(f"wrote {path} ({path.stat().st_size} bytes)")
 
     if args.validate:
@@ -73,9 +77,19 @@ def main(argv=None):
         fn = make_decoder_fn(model, args.return_single_mask,
                              args.use_stability_score, args.return_extra_metrics)
         ref = fn(model.params, *map(jnp.asarray, test_args))
-        for o, r in zip(outs, ref):
-            np.testing.assert_allclose(np.asarray(o), np.asarray(r), atol=1e-4)
-        print("validation OK: deserialized program matches eager outputs")
+        if args.quantize is None:
+            for o, r in zip(outs, ref):
+                np.testing.assert_allclose(np.asarray(o), np.asarray(r), atol=1e-4)
+            print("validation OK: deserialized program matches eager outputs")
+        else:
+            # quantized weights shift logits; contract = thresholded masks agree
+            thr = model.mask_threshold
+            m_q = np.asarray(outs[0]) > thr
+            m_f = np.asarray(ref[0]) > thr
+            agree = (m_q == m_f).mean()
+            assert agree >= 0.99, f"quantized mask agreement {agree:.4f} < 0.99"
+            print(f"validation OK: {args.quantize} masks agree with fp32 at "
+                  f"{agree:.4%} of pixels")
 
 
 if __name__ == "__main__":

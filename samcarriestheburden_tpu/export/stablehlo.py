@@ -91,15 +91,57 @@ def make_decoder_fn(model: SamModel, return_single_mask: bool,
     return fn
 
 
+def _is_qleaf(leaf) -> bool:
+    return isinstance(leaf, dict) and set(leaf) == {"q", "s"}
+
+
+def quantize_params(params, mode: str):
+    """Weight quantization for export (the TPU analogue of the reference's
+    dynamic uint8 ONNX quantization, export_onnx_model.py:187-201).
+
+    ``bf16``: every float leaf stored as bfloat16 (native TPU dtype, ~2×
+    smaller artifact).  ``int8``: weight-only per-tensor symmetric int8 —
+    leaves with ≥2 dims and >1024 elements (the matmul/conv weights, mirroring
+    onnxruntime's MatMul-weight quantization) become {q: int8, s: scale};
+    activations stay float, dequantization runs in-program.
+    """
+    if mode == "bf16":
+        return jax.tree.map(
+            lambda x: jnp.asarray(x, jnp.bfloat16)
+            if jnp.asarray(x).dtype == jnp.float32 else jnp.asarray(x), params)
+    if mode == "int8":
+        def q(x):
+            x = jnp.asarray(x)
+            if x.dtype != jnp.float32 or x.ndim < 2 or x.size <= 1024:
+                return x
+            scale = jnp.maximum(jnp.max(jnp.abs(x)), 1e-12) / 127.0
+            return {"q": jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8),
+                    "s": scale.astype(jnp.float32)}
+        return jax.tree.map(q, params)
+    raise ValueError(f"unknown quantization mode {mode!r}")
+
+
+def dequantize_params(params):
+    """Inverse of :func:`quantize_params` inside the traced program."""
+    return jax.tree.map(
+        lambda l: (l["s"] * l["q"].astype(jnp.float32)) if _is_qleaf(l)
+        else jnp.asarray(l, jnp.float32) if jnp.asarray(l).dtype == jnp.bfloat16
+        else l,
+        params, is_leaf=_is_qleaf)
+
+
 def export_decoder(model: SamModel, out_path, *, return_single_mask: bool,
                    use_stability_score: bool = False,
                    return_extra_metrics: bool = False,
                    batch: Optional[int] = None,
-                   num_points: Optional[int] = None) -> Path:
+                   num_points: Optional[int] = None,
+                   quantize: Optional[str] = None) -> Path:
     """Serialise the decoder program to a .stablehlo file.
 
     ``batch``/``num_points`` = None exports with symbolic dimensions
     (shape-polymorphic, like the reference's dynamic ONNX axes).
+    ``quantize`` = 'bf16' | 'int8' bakes quantized weight constants with
+    in-program dequantization (reference's quantize_dynamic analogue).
     """
     from jax import export as jexport
 
@@ -127,7 +169,12 @@ def export_decoder(model: SamModel, out_path, *, return_single_mask: bool,
         jax.ShapeDtypeStruct((2,), jnp.int32),                     # orig_im_size
     )
     params = jax.tree.map(jnp.asarray, model.params)
-    exported = jexport.export(jax.jit(partial(fn, params)))(*args)
+    if quantize is not None:
+        qparams = quantize_params(params, quantize)
+        run = lambda *a: fn(dequantize_params(qparams), *a)  # noqa: E731
+    else:
+        run = partial(fn, params)
+    exported = jexport.export(jax.jit(run))(*args)
     data = exported.serialize()
     out_path = Path(out_path)
     out_path.parent.mkdir(parents=True, exist_ok=True)

@@ -133,3 +133,58 @@ def test_precompute_resume(model, tmp_path):
     with pytest.raises(AssertionError):
         precompute_embeddings(model, files, out, "other.pth", batch_size=2,
                               dtype=jnp.float32, progress=False, resume=True)
+
+
+def test_export_quantized_variants(model, tmp_path):
+    """bf16 / int8 weight-quantized exports (the reference's dynamic-uint8
+    ONNX quantization analogue, export_onnx_model.py:187-201): artifacts
+    shrink and thresholded masks agree with the fp32 program."""
+    from samcarriestheburden_tpu.export.stablehlo import (
+        export_decoder, load_exported)
+
+    rng = np.random.default_rng(0)
+    args = (
+        rng.standard_normal((1, 16, 8, 8)).astype(np.float32),
+        rng.uniform(0, 128, (1, 2, 2)).astype(np.float32),
+        np.ones((1, 2), np.int32),
+        np.zeros((1, 1, 32, 32), np.float32),
+        np.zeros((1,), np.float32),
+        np.asarray([600, 800], np.int32),
+    )
+    p_f32 = export_decoder(model, tmp_path / "f32.stablehlo",
+                           return_single_mask=True, batch=1, num_points=2)
+    ref = load_exported(p_f32).call(*args)
+    for mode in ("bf16", "int8"):
+        p_q = export_decoder(model, tmp_path / f"{mode}.stablehlo",
+                             return_single_mask=True, batch=1, num_points=2,
+                             quantize=mode)
+        if mode == "bf16":  # vit_t weights are below the int8 size threshold
+            assert p_q.stat().st_size < 0.75 * p_f32.stat().st_size, \
+                f"artifact not smaller: {p_q.stat().st_size} vs {p_f32.stat().st_size}"
+        outs = load_exported(p_q).call(*args)
+        thr = model.mask_threshold
+        agree = (np.asarray(outs[0]) > thr) == (np.asarray(ref[0]) > thr)
+        assert agree.mean() >= 0.99, f"{mode}: mask agreement {agree.mean():.4f}"
+        np.testing.assert_allclose(np.asarray(outs[2]), np.asarray(ref[2]),
+                                   atol=0.1)  # iou scores stay close
+
+
+def test_int8_quantization_roundtrip_real_size_weights():
+    """int8 weight quantization at real decoder-weight shapes: large 2-D
+    leaves become {q: int8, s}, dequantization error is per-tensor-symmetric
+    bounded, small leaves stay float."""
+    from samcarriestheburden_tpu.export.stablehlo import (
+        dequantize_params, quantize_params)
+
+    rng = np.random.default_rng(0)
+    tree = {"attn": {"w": rng.standard_normal((256, 256)).astype(np.float32)},
+            "ln": {"scale": np.ones(256, np.float32)},
+            "pe": rng.standard_normal((2, 128)).astype(np.float32)}
+    q = quantize_params(tree, "int8")
+    assert set(q["attn"]["w"]) == {"q", "s"} and q["attn"]["w"]["q"].dtype == jnp.int8
+    assert q["ln"]["scale"].dtype == jnp.float32  # 1-D: untouched
+    assert q["pe"].dtype == jnp.float32           # small: untouched
+    deq = dequantize_params(q)
+    w = tree["attn"]["w"]
+    bound = float(np.abs(w).max()) / 127.0 / 2 + 1e-6
+    assert np.abs(np.asarray(deq["attn"]["w"]) - w).max() <= bound
