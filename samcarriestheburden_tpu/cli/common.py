@@ -38,7 +38,23 @@ def hp_parser() -> argparse.ArgumentParser:
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 forward pass (fp32 master params)")
+    p.add_argument("--data_placement", choices=["replicated", "sharded"],
+                   default="replicated",
+                   help="dataset residency on the mesh: replicate (small "
+                        "splits) or shard on the data axis (large datasets)")
+    add_multihost_flags(p)
     return p
+
+
+def add_multihost_flags(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--multihost", action="store_true",
+                   help="call jax.distributed.initialize before building the "
+                        "mesh (auto-detects on TPU pods; pass --coordinator/"
+                        "--num_processes/--process_id elsewhere)")
+    p.add_argument("--coordinator", type=str, default=None,
+                   help="coordinator address host:port (multi-host)")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
 
 
 def train_config_from_args(args, **overrides) -> TrainConfig:
@@ -47,7 +63,8 @@ def train_config_from_args(args, **overrides) -> TrainConfig:
               weight_decay=args.weight_decay, epochs=args.epochs,
               data_aug=args.data_aug, lr_scheduler=args.lr_scheduler,
               n_last_channel=args.n_last_channel,
-              compute_dtype="bfloat16" if getattr(args, "bf16", False) else "float32")
+              compute_dtype="bfloat16" if getattr(args, "bf16", False) else "float32",
+              data_placement=getattr(args, "data_placement", "replicated"))
     kw.update(overrides)
     return TrainConfig(**kw)
 
@@ -86,6 +103,12 @@ def setup_backend(args) -> None:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    if getattr(args, "multihost", False):
+        from samcarriestheburden_tpu.parallel.distributed import initialize
+
+        initialize(getattr(args, "coordinator", None),
+                   getattr(args, "num_processes", None),
+                   getattr(args, "process_id", None))
 
 
 def maybe_mesh(args):

@@ -28,14 +28,23 @@ def main(argv=None):
     p.add_argument("--limit", type=int, default=None, help="encode only N images")
     p.add_argument("--resume", action="store_true",
                    help="continue an interrupted run (skip stems already in the h5)")
-    from samcarriestheburden_tpu.cli.common import add_profile_flag, profiled
+    p.add_argument("--merge_shards", action="store_true",
+                   help="merge <output>.part* files from a multi-host run "
+                        "into <output> and exit")
+    from samcarriestheburden_tpu.cli.common import (
+        add_multihost_flags, add_profile_flag, profiled, setup_backend)
     add_profile_flag(p)
+    add_multihost_flags(p)
     args = p.parse_args(argv)
 
-    if args.cpu:
-        import jax
+    setup_backend(args)
+    if args.merge_shards:
+        from samcarriestheburden_tpu.engine.embeddings import merge_embedding_shards
 
-        jax.config.update("jax_platforms", "cpu")
+        out = args.output or f"data/graz_{args.sam_type}_img_embedding.h5"
+        merge_embedding_shards(out)
+        print(f"merged shards into {out}")
+        return
     import jax.numpy as jnp
 
     from samcarriestheburden_tpu.cli.common import maybe_mesh

@@ -217,6 +217,11 @@ class TrainConfig(_ConfigBase):
     #: gather-free MXU formulation, train/augment.py — 'gather' elsewhere);
     #: explicit 'matmul' / 'gather' / 'pallas' to force
     aug_method: Optional[str] = None
+    #: dataset residency: 'replicated' copies the whole split to every device
+    #: (right for GrazPedWri's 64/500-image splits — zero gather collectives);
+    #: 'sharded' partitions the split on the data axis (scales past
+    #: per-device HBM; per-step batch gathers become XLA collectives)
+    data_placement: str = "replicated"
     # TPU-native additions (absent in reference): data-parallel device count.
     num_devices: int = 1
 

@@ -110,7 +110,19 @@ def precompute_embeddings(model: SamModel, image_files: Sequence,
     (cv2 cubic square resize + min-max normalise, reference
     generate_img_embeddings.py:49-64).  ``resume=True`` reopens an interrupted
     run, skipping stems already stored.  ``timer`` (an optional
-    profiling.PhaseTimer) accounts load / encode / write phases."""
+    profiling.PhaseTimer) accounts load / encode / write phases.
+
+    Multi-host: when ``jax.distributed.initialize`` has run and
+    ``jax.process_count() > 1``, each process encodes its strided slice of the
+    file list on its local devices (image encoding is embarrassingly parallel
+    — no collectives) and writes ``<out>.part<p>``; merge afterwards with
+    :func:`merge_embedding_shards` or read the parts side by side."""
+    if jax.process_count() > 1:
+        from samcarriestheburden_tpu.parallel.distributed import process_shard
+
+        image_files = process_shard(image_files)
+        out_h5 = Path(str(out_h5) + f".part{jax.process_index()}")
+        mesh = None  # local pipeline per process; no cross-host arrays
     if timer is None:
         from samcarriestheburden_tpu.profiling import PhaseTimer
 
@@ -173,3 +185,34 @@ def precompute_embeddings(model: SamModel, image_files: Sequence,
             pending = (chunk, sizes, orig_sizes, fut)
         if pending is not None:
             drain(pending)
+
+
+def merge_embedding_shards(out_h5, n_processes: int = None,
+                           delete_parts: bool = False) -> Path:
+    """Merge the per-process ``<out>.part<p>`` files written by a multi-host
+    precompute into one embeddings h5 (same schema, attrs copied from part 0).
+    Run on one host after all processes finish."""
+    import glob
+
+    import h5py
+
+    out_h5 = Path(out_h5)
+    parts = sorted(glob.glob(str(out_h5) + ".part*")) if n_processes is None \
+        else [f"{out_h5}.part{p}" for p in range(n_processes)]
+    assert parts, f"no shard files matching {out_h5}.part*"
+    with h5py.File(out_h5, "w") as dst:
+        for i, part in enumerate(parts):
+            with h5py.File(part, "r") as src:
+                if i == 0:
+                    for k, v in src.attrs.items():
+                        dst.attrs[k] = v
+                else:
+                    assert src.attrs["checkpoint"] == dst.attrs["checkpoint"], \
+                        f"shard {part} from a different checkpoint"
+                for stem in src.get("img_embedding", {}):
+                    src.copy(f"img_embedding/{stem}", dst,
+                             f"img_embedding/{stem}")
+    if delete_parts:
+        for part in parts:
+            Path(part).unlink()
+    return out_h5

@@ -26,6 +26,7 @@ from samcarriestheburden_tpu.config import (
 from samcarriestheburden_tpu.models import unet
 from samcarriestheburden_tpu.ops.dice import multilabel_dice
 from samcarriestheburden_tpu.parallel import mesh as pmesh
+from samcarriestheburden_tpu.parallel.distributed import host_value
 from samcarriestheburden_tpu.train.augment import random_affine
 
 
@@ -192,10 +193,23 @@ class UNetTrainer:
     def _device_data(self, x, y):
         key = (id(x), id(y), x.shape, y.shape)
         if getattr(self, "_data_cache_key", None) != key:
-            xd = jnp.asarray(x, jnp.float32)
-            yd = jnp.asarray(np.asarray(y).astype(np.uint8))
-            if self.mesh is not None:
-                xd, yd = pmesh.replicate(self.mesh, (xd, yd))
+            xh = np.asarray(x, np.float32)
+            yh = np.asarray(y).astype(np.uint8)
+            if self.mesh is not None and self.cfg.data_placement == "sharded":
+                # partition the dataset itself on the data axis (scales past
+                # per-device HBM); per-step index gathers become XLA
+                # cross-device collectives.  Pad to mesh divisibility — the
+                # sampler never emits indices >= len(x).
+                n_dev = self.mesh.devices.size
+                xh, _ = pmesh.pad_to_multiple(xh, n_dev)
+                yh, _ = pmesh.pad_to_multiple(yh, n_dev)
+                xd, yd = pmesh.shard_batch(self.mesh, (jnp.asarray(xh),
+                                                       jnp.asarray(yh)))
+            elif self.mesh is not None:
+                xd, yd = pmesh.replicate(self.mesh, (jnp.asarray(xh),
+                                                     jnp.asarray(yh)))
+            else:
+                xd, yd = jnp.asarray(xh), jnp.asarray(yh)
             self._data_cache = (xd, yd)
             self._data_cache_key = key
         return self._data_cache
@@ -245,8 +259,8 @@ class UNetTrainer:
             self.state.params, self.state.opt_state, losses, dices = \
                 self._train_epoch_scan(self.state.params, self.state.opt_state,
                                        xs, ys, w, lr)
-            losses = np.asarray(losses)
-            dices = np.asarray(dices)
+            losses = host_value(losses)
+            dices = host_value(dices)
             dice_rows = [dices[s, :b[2]] for s, b in enumerate(batches)]
         else:
             losses, dice_rows = [], []
@@ -254,8 +268,8 @@ class UNetTrainer:
                 self.state.params, self.state.opt_state, loss, dice = \
                     self._train_step(self.state.params, self.state.opt_state,
                                      xd, yd, idx, w, sub, lr)
-                losses.append(float(loss))
-                dice_rows.append(np.asarray(dice)[:n_valid])
+                losses.append(float(host_value(loss)))
+                dice_rows.append(host_value(dice)[:n_valid])
         self.state.epoch = epoch + 1
         return float(np.mean(losses)), np.concatenate(dice_rows)
 
@@ -266,8 +280,8 @@ class UNetTrainer:
         for idx, w, n_valid in self._batch_indices(len(x), order,
                                                    self.cfg.infer_batch_size):
             loss, dice = self._eval_step(self.state.params, xd, yd, idx, w)
-            losses.append(float(loss))
-            dices.append(np.asarray(dice)[:n_valid])
+            losses.append(float(host_value(loss)))
+            dices.append(host_value(dice)[:n_valid])
         return float(np.mean(losses)), np.concatenate(dices)
 
     @property

@@ -1,0 +1,113 @@
+"""Multi-host wiring (SURVEY §5 distributed backend; greenfield vs the
+single-device reference): jax.distributed.initialize, per-process work
+sharding, sharded dataset placement, shard merging, and a real 2-process
+training step over a global mesh."""
+
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax
+
+from samcarriestheburden_tpu.config import TrainConfig, UNetConfig
+from samcarriestheburden_tpu.parallel import mesh as pmesh
+from samcarriestheburden_tpu.parallel.distributed import process_shard
+from samcarriestheburden_tpu.train.loop import UNetTrainer
+
+
+def test_process_shard_strided():
+    items = list(range(10))
+    shards = [process_shard(items, p, 3) for p in range(3)]
+    assert shards[0] == [0, 3, 6, 9] and shards[1] == [1, 4, 7]
+    assert sorted(sum(shards, [])) == items
+
+
+@pytest.mark.slow
+def test_sharded_data_placement_matches_replicated():
+    """data_placement='sharded' partitions the dataset on the mesh yet trains
+    bit-identically to the replicated path (indices/gathers are the same
+    program, XLA inserts the collectives)."""
+    mesh = pmesh.make_mesh(8)
+    rng = np.random.default_rng(0)
+    x = rng.random((10, 1, 32, 24)).astype(np.float32)  # 10 % 8 != 0: pad path
+    y = (rng.random((10, 17, 32, 24)) > 0.7).astype(np.float32)
+    ucfg = UNetConfig(n_channels=1, n_classes=17, base_channels=4,
+                      n_last_channel=4)
+    losses = {}
+    for placement in ("replicated", "sharded"):
+        cfg = TrainConfig(epochs=1, batch_size=8, data_sample_per_epoch=16,
+                          data_aug=0.0, data_placement=placement,
+                          epoch_scan=False)
+        trainer = UNetTrainer(ucfg, cfg, mesh=mesh)
+        loss, dice = trainer.train_epoch(x, y, epoch=0)
+        losses[placement] = (loss, dice)
+    np.testing.assert_allclose(losses["sharded"][0], losses["replicated"][0],
+                               rtol=1e-6)
+    np.testing.assert_allclose(losses["sharded"][1], losses["replicated"][1],
+                               rtol=1e-5)
+
+
+def test_merge_embedding_shards(tmp_path):
+    from samcarriestheburden_tpu.data.h5io import EmbeddingReader, EmbeddingWriter
+    from samcarriestheburden_tpu.engine.embeddings import merge_embedding_shards
+
+    out = tmp_path / "emb.h5"
+    feats = {f"im{i}": np.full((1, 4, 2, 2), i, np.float32) for i in range(5)}
+    for p in range(2):
+        with EmbeddingWriter(f"{out}.part{p}", "ckpt.npz", 128) as w:
+            for i, (stem, f) in enumerate(feats.items()):
+                if i % 2 == p:
+                    w.write(stem, f, (20, 30), (10, 15))
+    merged = merge_embedding_shards(out, delete_parts=True)
+    reader = EmbeddingReader(merged)
+    assert sorted(reader.stems()) == sorted(feats)
+    for stem, f in feats.items():
+        np.testing.assert_array_equal(reader.features(stem), f)
+    assert not Path(f"{out}.part0").exists()
+
+
+@pytest.mark.slow
+def test_two_process_training_step():
+    """Real 2-process run: jax.distributed.initialize over localhost, global
+    4-device mesh (2 local CPU devices per process), one U-Net training epoch
+    with both dataset placements — losses agree across processes and with a
+    single-process 4-device run."""
+    worker = Path(__file__).parent / "mh_worker.py"
+    port = "12421"
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker), str(p), port],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        env={**__import__("os").environ,
+             "PYTHONPATH": str(Path(__file__).parent.parent)})
+        for p in range(2)]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=420)
+        assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+        outs.append(out)
+    results = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("RESULT"):
+                _, pid, placement, loss = line.split()
+                results[(pid, placement)] = float(loss)
+    assert len(results) == 4, f"missing results: {results}"
+    for placement in ("replicated", "sharded"):
+        a, b = results[("p0", placement)], results[("p1", placement)]
+        assert a == b, f"{placement}: cross-process loss mismatch {a} vs {b}"
+
+    # single-process 4-device reference (same data/seed/mesh size)
+    mesh = pmesh.make_mesh(4)
+    rng = np.random.default_rng(0)
+    x = rng.random((8, 1, 32, 24)).astype(np.float32)
+    y = (rng.random((8, 17, 32, 24)) > 0.7).astype(np.float32)
+    cfg = TrainConfig(epochs=1, batch_size=4, data_sample_per_epoch=8,
+                      data_aug=0.0, epoch_scan=False)
+    trainer = UNetTrainer(UNetConfig(n_channels=1, n_classes=17,
+                                     base_channels=4, n_last_channel=4),
+                          cfg, mesh=mesh)
+    loss, _ = trainer.train_epoch(x, y, epoch=0)
+    np.testing.assert_allclose(results[("p0", "replicated")], loss, rtol=1e-6)
