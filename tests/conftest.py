@@ -30,6 +30,7 @@ _SLOW_MODULES = {
 }
 _SLOW_TESTS = {
     "test_refiner_batched_matches_sequential_reference_protocol",
+    "test_batched_decode_logits_match_sequential",
     "test_decoder_head_predict_mask",
     "test_seg_enhance_pipeline",
     "test_preprocess_study_end_to_end",

@@ -134,3 +134,49 @@ def test_random_walk_refiner(tmp_path):
     # seeds stay labelled; the walk expands within the bright region
     assert y_hat[0, 22, 18]
     assert y_hat[0].sum() >= seg[0].sum()
+
+
+def test_batched_decode_logits_match_sequential(head):
+    """Logit-level contract (stronger than the 0.99 mask-agreement check):
+    the batched all-class decode — same prompt assembly the jitted
+    _refine_batched uses — reproduces the sequential per-class predict_mask
+    low-res logits to fp tolerance, both rounds of the 2-round protocol."""
+    import jax.numpy as jnp
+
+    from samcarriestheburden_tpu.engine.prompts import (
+        extract_prompt_arrays, neg_seed_table)
+
+    seg = _seg_probs()
+    bool_seg = seg.astype(bool)
+    original_size, input_size = head.sizes("img_a")
+    input_size = jnp.asarray(input_size)
+
+    arrays = extract_prompt_arrays(jnp.asarray(bool_seg))
+    neg_table, neg_valid = neg_seed_table(arrays["pos_seeds"], arrays["pos_valid"])
+    g4 = head.cfg.prompt_encoder.image_embedding_size[0] * 4
+    c = bool_seg.shape[0]
+
+    coords1, labels1 = SamSegRefiner._build_prompts(
+        arrays, neg_table, neg_valid, ["box"], SEG_HW, input_size)
+    low1_b, iou1_b = head._decode(head.features("img_a"), coords1, labels1,
+                                  jnp.zeros((c, 1, g4, g4), jnp.float32),
+                                  jnp.zeros((c,), bool))
+    coords2, labels2 = SamSegRefiner._build_prompts(
+        arrays, neg_table, neg_valid, ["pos_points", "neg_points"],
+        SEG_HW, input_size)
+    low2_b, iou2_b = head._decode(head.features("img_a"), coords2, labels2,
+                                  low1_b, jnp.ones((c,), bool))
+
+    for p in PromptExtractor(bool_seg).extract():
+        _, iou1_s, low1_s = head.predict_mask("img_a", p, ["box"])
+        _, iou2_s, low2_s = head.predict_mask(
+            "img_a", p, ["pos_points", "neg_points"], mask_prev_iter=low1_s)
+        i = p.class_idx
+        np.testing.assert_allclose(np.asarray(low1_b[i]), np.asarray(low1_s[0]),
+                                   atol=2e-4)
+        np.testing.assert_allclose(np.asarray(iou1_b[i]), np.asarray(iou1_s[0]),
+                                   atol=2e-5)
+        np.testing.assert_allclose(np.asarray(low2_b[i]), np.asarray(low2_s[0]),
+                                   atol=2e-4)
+        np.testing.assert_allclose(np.asarray(iou2_b[i]), np.asarray(iou2_s[0]),
+                                   atol=2e-5)
