@@ -15,7 +15,7 @@ CLI_MODULES = [
     "save_segmentations", "save_refined_segmentations", "amg",
     "export_decoder", "copy_and_process_imgs",
     "define_successively_data_subsets", "sanity_check_saved_segmentation",
-    "hpo", "select_pseudo_labels",
+    "hpo", "select_pseudo_labels", "make_synthetic_dataset",
 ]
 
 

@@ -90,3 +90,20 @@ def test_saved_dataset(data_root):
     x, y, name = ds[0]
     assert name == "img005"
     assert x.shape == (1, 384, 224) and y.shape == (17, 384, 224)
+
+
+def test_make_synthetic_dataset_is_loadable(tmp_path, monkeypatch):
+    """The synthetic-data generator produces a data root the dataset classes
+    load end-to-end, with all 17 classes present (out-of-box pipeline)."""
+    from samcarriestheburden_tpu.cli import make_synthetic_dataset as gen
+    from samcarriestheburden_tpu.data.datasets import LightSegGrazPedWriDataset
+
+    root = gen.main(["--data_root", str(tmp_path / "data"), "--n_train1", "2",
+                     "--n_train2", "1", "--n_val", "1", "--n_test", "1",
+                     "--n_unlabeled", "2", "--height", "220", "--width", "140"])
+    ds = LightSegGrazPedWriDataset("train", data_root=root)
+    x, y, stems = ds.as_arrays()
+    assert x.shape == (3, 1, 384, 224) and y.shape == (3, 17, 384, 224)
+    assert (y.sum(axis=(0, 2, 3)) > 0).all(), "all 17 classes must appear"
+    assert (root / "500unlabeled_sample.csv").exists()
+    assert (root / "successively_training_files_order.csv").exists()
