@@ -5,7 +5,12 @@ Prints ONE JSON line:
 
 The headline metric matches the BASELINE.md north star: images/sec through
 the full ViT-H 1024² embedding + 2-round 17-class prompted refinement
-pipeline on a single TPU chip, bf16 encoder compute.
+pipeline on a single TPU chip, bf16 encoder compute.  The refinement leg is
+the COMPLETE ``SegEnhance.enhance`` path at production settings
+(save_refined_segmentations defaults): CCL component selection
+(num_iter = max(H, W)), 8-radius square dilation, prompt auto-extraction,
+2-round batched decode and the composed postprocess onto the 384×224 U-Net
+grid — not just the decoder calls.
 
 ``vs_baseline``: the reference repo publishes no numbers (BASELINE.md), so
 the comparison point is the reference *implementation's* measured cost
@@ -152,7 +157,58 @@ def main():
                         iters=args.iters, warmup=2)
     masks_per_sec = N_CLASSES / t_refine
 
-    per_image = 1.0 / embed_per_sec + t_refine
+    # ---- full SegEnhance.enhance path (the honest refinement leg) ------
+    # CCL (num_iter = max(H,W)) + dilation + prompt extraction + 2-round
+    # decode + postprocess-to-grid, all jitted as the production
+    # save_refined_segmentations configuration runs them.
+    import tempfile
+
+    from samcarriestheburden_tpu.config import UNET_INPUT_HW
+    from samcarriestheburden_tpu.data.h5io import EmbeddingWriter
+    from samcarriestheburden_tpu.engine.decoder_head import SamMaskDecoderHead
+    from samcarriestheburden_tpu.engine.refinement import (SamSegRefiner,
+                                                           SegEnhance)
+    from samcarriestheburden_tpu.ops.ccl import \
+        remove_all_but_one_connected_component
+
+    seg_hw = (48, 32) if args.smoke else UNET_INPUT_HW
+    original_size = np.asarray([seg_hw[0] * 6, seg_hw[1] * 6])
+    input_size = np.asarray([size, int(size * seg_hw[1] / seg_hw[0])])
+    with tempfile.TemporaryDirectory() as tmp:
+        h5path = f"{tmp}/emb.h5"
+        with EmbeddingWriter(h5path, "bench.npz", size) as wr:
+            wr.write("bench", np.zeros((1, cfg.image_encoder.out_chans,
+                                        grid, grid), np.float32),
+                     original_size, input_size)
+        head = SamMaskDecoderHead(None, model_name, h5path,
+                                  params=model.params, cfg=cfg)
+    refiner = SamSegRefiner(head, None,
+                            [["box"], ["pos_points", "neg_points"]])
+    enh = SegEnhance(refiner, "highest_probability", "dilation", "square", 8)
+    num_iter = max(seg_hw)
+
+    @jax.jit
+    def enhance_full(prob_seg, feats, inp, orig):
+        seg = remove_all_but_one_connected_component(
+            prob_seg, "highest_probability", num_iter)
+        morphed = enh._morph(seg)  # reference side-buffer — real cost
+        refined, est = refiner._refine_batched(
+            seg.astype(bool), feats, inp, orig, seg_hw)
+        return refined, est, morphed
+
+    # representative U-Net output: one elongated soft blob per class
+    yy, xx = np.mgrid[: seg_hw[0], : seg_hw[1]]
+    prob = np.zeros((N_CLASSES,) + tuple(seg_hw), np.float32)
+    for c in range(N_CLASSES):
+        cy, cx = rng.uniform(0.2, 0.8) * seg_hw[0], rng.uniform(0.2, 0.8) * seg_hw[1]
+        ry, rx = rng.uniform(0.1, 0.3) * seg_hw[0], rng.uniform(0.05, 0.2) * seg_hw[1]
+        d2 = ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2
+        prob[c] = np.clip(1.2 - d2, 0, 1)
+    t_enhance = _time_it(enhance_full, jnp.asarray(prob), features,
+                         jnp.asarray(input_size), jnp.asarray(original_size),
+                         iters=args.iters, warmup=2)
+
+    per_image = 1.0 / embed_per_sec + t_enhance
     value = 1.0 / per_image
 
     result = {
@@ -163,6 +219,8 @@ def main():
         "detail": {
             "embed_images_per_sec": round(embed_per_sec, 4),
             "refined_masks_per_sec": round(masks_per_sec, 2),
+            "full_enhance_images_per_sec": round(1.0 / t_enhance, 2),
+            "seg_grid_hw": list(seg_hw),
             "encoder_batch": batch,
             "attention": args.attention,
             "encoder_dtype": str(dtype.__name__ if hasattr(dtype, "__name__")

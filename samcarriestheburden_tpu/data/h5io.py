@@ -49,7 +49,9 @@ class EmbeddingWriter:
               compression: Optional[str] = "gzip", compression_opts=9):
         grp = self.f.create_group(f"img_embedding/{stem}")
         grp.create_dataset("features", data=np.asarray(features, np.float32),
-                           compression=compression, compression_opts=compression_opts)
+                           compression=compression,
+                           compression_opts=compression_opts
+                           if compression is not None else None)
         grp.attrs["original_size"] = np.asarray(original_size)
         grp.attrs["input_size"] = np.asarray(input_size)
 

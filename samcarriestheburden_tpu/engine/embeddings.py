@@ -65,6 +65,11 @@ def make_encode_batch(model: SamModel, dtype=jnp.bfloat16,
     else:
         impl = attention_impl
 
+    # Fused window-block kernels measured slower end-to-end than the v1
+    # pallas-attention path on v5e (119 vs 92 ms/img) — keep opt-in until the
+    # kernel wins; see BENCHMARKS.md optimization log.
+    fused_blocks = False
+
     @jax.jit
     def encode(params, imgs, input_sizes):
         ih = jax.lax.broadcasted_iota(jnp.int32, (size, size), 0)
@@ -75,7 +80,8 @@ def make_encode_batch(model: SamModel, dtype=jnp.bfloat16,
         x = x * valid[:, None]
         return image_encoder.apply(params["image_encoder"],
                                    model.cfg.image_encoder, x, dtype=dtype,
-                                   attention_impl=impl)
+                                   attention_impl=impl,
+                                   fused_window_blocks=fused_blocks)
 
     return encode
 

@@ -1,0 +1,106 @@
+"""Fused transformer-MLP kernel: ``x + lin2(gelu(lin1(LN(x))))`` in one pass.
+
+The XLA lowering of the encoder MLP materialises the (tokens, 4E)
+intermediate in HBM twice (lin1 write + lin2 read ≈ 400 MB per ViT-H block
+at batch 4) plus the LN round-trip.  Here the intermediate lives in VMEM per
+token block and the weights stay resident across the grid, so HBM traffic is
+one x read + one y write + one weight load (~126 MB/block).
+
+Numerics: LN statistics and both matmul accumulations in fp32, GELU exact
+(erf) like the reference (modeling/common.py:13-26); output in x.dtype.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _erf(x: jnp.ndarray) -> jnp.ndarray:
+    """fp32 erf for Mosaic (neither erf nor erfc lower to TPU Pallas yet):
+    Abramowitz & Stegun 7.1.26, |error| <= 1.5e-7 — at fp32 resolution for
+    GELU's argument range."""
+    sign = jnp.sign(x)
+    a = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return sign * (1.0 - poly * jnp.exp(-a * a))
+
+
+def _mlp_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *,
+                eps: float):
+    x = x_ref[:]
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    xn = (xf - mean) * jax.lax.rsqrt(var + eps)
+    xn = xn * g_ref[0].astype(jnp.float32) + b_ref[0].astype(jnp.float32)
+
+    h = jax.lax.dot_general(xn.astype(x.dtype), w1_ref[:],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    h = h + b1_ref[0].astype(jnp.float32)
+    h = 0.5 * h * (1.0 + _erf(h * 0.7071067811865476))  # exact-erf GELU
+
+    y = jax.lax.dot_general(h.astype(x.dtype), w2_ref[:],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    y = y + b2_ref[0].astype(jnp.float32)
+    o_ref[:] = (xf + y).astype(o_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("t_block", "eps", "interpret"))
+def fused_ln_mlp_residual(x: jnp.ndarray, ln_scale, ln_bias, w1, b1, w2, b2,
+                          *, t_block: Optional[int] = None, eps: float = 1e-6,
+                          interpret: bool = False) -> jnp.ndarray:
+    """x: (T, E) tokens -> (T, E) == x + mlp(LN(x)).  Weights: w1 (E, M),
+    w2 (M, E); biases (M,)/(E,); LN affine (E,)."""
+    t, e = x.shape
+    m = w1.shape[1]
+    if t_block is None:
+        t_block = min(512, t)
+    grid = (pl.cdiv(t, t_block),)
+    kernel = partial(_mlp_kernel, eps=eps)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((t_block, e), lambda i: (i, 0)),
+            pl.BlockSpec((1, e), lambda i: (0, 0)),
+            pl.BlockSpec((1, e), lambda i: (0, 0)),
+            pl.BlockSpec((e, m), lambda i: (0, 0)),
+            pl.BlockSpec((1, m), lambda i: (0, 0)),
+            pl.BlockSpec((m, e), lambda i: (0, 0)),
+            pl.BlockSpec((1, e), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((t_block, e), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * t * e * m * 2, transcendentals=t * m,
+            bytes_accessed=(2 * t * e + 2 * e * m) * x.dtype.itemsize),
+        interpret=interpret,
+    )(x, ln_scale.reshape(1, -1), ln_bias.reshape(1, -1),
+      w1, b1.reshape(1, -1), w2, b2.reshape(1, -1))
+
+
+def mlp_residual_apply(p_norm: dict, p_mlp: dict, x: jnp.ndarray,
+                       eps: float = 1e-6, interpret: bool = False) -> jnp.ndarray:
+    """Drop-in for ``x + mlp_block(p_mlp, layer_norm(p_norm, x))`` on token
+    grids of any leading shape."""
+    lead = x.shape[:-1]
+    e = x.shape[-1]
+    y = fused_ln_mlp_residual(
+        x.reshape(-1, e), p_norm["scale"], p_norm["bias"],
+        p_mlp["lin1"]["w"].astype(x.dtype), p_mlp["lin1"]["b"],
+        p_mlp["lin2"]["w"].astype(x.dtype), p_mlp["lin2"]["b"],
+        eps=eps, interpret=interpret)
+    return y.reshape(*lead, e)

@@ -231,9 +231,39 @@ def _pad_valid_mask(b: int, h: int, w: int, window_size: int, dtype) -> jnp.ndar
     return mask
 
 
+def _block_apply_windowed_fused(p: dict, xw: jnp.ndarray, pad_valid: jnp.ndarray,
+                                cfg: ImageEncoderConfig,
+                                interpret: bool = False) -> jnp.ndarray:
+    """Windowed block via the fused window-block attention kernel
+    (kernels.attention.fused_window_block_attention): LN1 → per-head qkv,
+    rel-pos bias, softmax, value and output projection all in one kernel —
+    no head-split or attention-output transposes touch HBM.  Numerically
+    equivalent to :func:`_block_apply_windowed` (interpret-mode tested)."""
+    from samcarriestheburden_tpu.kernels.attention import (
+        fused_window_block_attention, prepare_block_attn_weights)
+    from samcarriestheburden_tpu.kernels.mlp import mlp_residual_apply
+
+    wb, ws, _, e = xw.shape
+    wts = prepare_block_attn_weights(p["attn"], cfg.num_heads, ws,
+                                     dtype=xw.dtype)
+    shortcut = xw
+    xn = layer_norm(p["norm1"], xw, cfg.layer_norm_eps) * pad_valid
+    a = fused_window_block_attention(
+        xn.reshape(wb, ws * ws, e), wts["wq"], wts["wk"], wts["wv"],
+        wts["bqkv"], wts["wp"], wts["texp_h"], wts["texp_w"],
+        ws=ws, heads=cfg.num_heads, interpret=interpret)
+    x = a.reshape(wb, ws, ws, e)
+    if wts["proj_b"] is not None:
+        x = x + wts["proj_b"].astype(x.dtype)
+    x = shortcut + x
+    return mlp_residual_apply(p["norm2"], p["mlp"], x, eps=cfg.layer_norm_eps,
+                              interpret=interpret)
+
+
 def apply(params: dict, cfg: ImageEncoderConfig, x: jnp.ndarray, *,
           dtype=jnp.float32, attention_impl=attention_apply,
-          persistent_windows: bool = True) -> jnp.ndarray:
+          persistent_windows: bool = True,
+          fused_window_blocks: bool = False) -> jnp.ndarray:
     """(B, 3, img, img) NCHW in (API parity) -> (B, out_chans, grid, grid) NCHW out.
 
     ``dtype`` is the compute precision for the transformer stack (bfloat16 on
@@ -265,7 +295,11 @@ def apply(params: dict, cfg: ImageEncoderConfig, x: jnp.ndarray, *,
                 if not in_windows:
                     x, pad_hw = window_partition(x, ws)
                     in_windows = True
-                x = _block_apply_windowed(blk, x, pad_valid, cfg, attention_impl)
+                if fused_window_blocks:
+                    x = _block_apply_windowed_fused(blk, x, pad_valid, cfg)
+                else:
+                    x = _block_apply_windowed(blk, x, pad_valid, cfg,
+                                              attention_impl)
         if in_windows:
             x = window_unpartition(x, ws, pad_hw, (h, w))
     else:

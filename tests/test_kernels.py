@@ -91,6 +91,62 @@ def test_encoder_with_pallas_impl(rng):
     np.testing.assert_allclose(ours, ref, atol=5e-4)
 
 
+def test_fused_window_block_matches_unfused(rng):
+    """The fully-fused windowed block (LN1 masked -> in-kernel per-head
+    qkv/rel-bias/softmax/value/proj -> fused LN2+MLP+residual kernel) matches
+    the unfused _block_apply_windowed path."""
+    import jax
+
+    cfg = sam_vit_t_config().image_encoder
+    params = image_encoder.init(jax.random.PRNGKey(1), cfg)
+    blk = params["blocks"][0]
+    key = jax.random.PRNGKey(2)
+    blk["attn"]["rel_pos_h"] = jax.random.normal(
+        key, blk["attn"]["rel_pos_h"].shape) * 0.1
+    blk["attn"]["rel_pos_w"] = jax.random.normal(
+        key, blk["attn"]["rel_pos_w"].shape) * 0.1
+
+    ws = cfg.window_size
+    wb = 4
+    xw = rng.standard_normal((wb, ws, ws, cfg.embed_dim)).astype(np.float32)
+    pad_valid = np.ones((wb, ws, ws, 1), np.float32)
+    pad_valid[-1, :, -2:] = 0.0  # exercise the pad-mask path
+
+    ref = np.asarray(image_encoder._block_apply_windowed(
+        blk, xw, pad_valid, cfg, image_encoder.attention_apply))
+    ours = np.asarray(image_encoder._block_apply_windowed_fused(
+        blk, xw, pad_valid, cfg, interpret=True))
+    np.testing.assert_allclose(ours, ref, atol=2e-4)
+
+
+def test_fused_mlp_kernel_matches_reference(rng):
+    """kernels.mlp fused LN+MLP+residual == layer_norm -> mlp_block -> add."""
+    import jax
+    import jax.numpy as jnp
+
+    from samcarriestheburden_tpu.kernels.mlp import mlp_residual_apply
+    from samcarriestheburden_tpu.models.common import layer_norm, mlp_block
+
+    e, m, t = 64, 256, 48
+    p_norm = {"scale": jnp.asarray(1 + rng.standard_normal(e) * 0.1,
+                                   jnp.float32),
+              "bias": jnp.asarray(rng.standard_normal(e) * 0.1, jnp.float32)}
+    p_mlp = {"lin1": {"w": jnp.asarray(rng.standard_normal((e, m)) * 0.05,
+                                       jnp.float32),
+                      "b": jnp.asarray(rng.standard_normal(m) * 0.1,
+                                       jnp.float32)},
+             "lin2": {"w": jnp.asarray(rng.standard_normal((m, e)) * 0.05,
+                                       jnp.float32),
+                      "b": jnp.asarray(rng.standard_normal(e) * 0.1,
+                                       jnp.float32)}}
+    x = jnp.asarray(rng.standard_normal((t, e)), jnp.float32)
+    ref = np.asarray(x + mlp_block(p_mlp, layer_norm(p_norm, x)))
+    ours = np.asarray(mlp_residual_apply(p_norm, p_mlp, x, interpret=True))
+    # in-kernel erf is the A&S 7.1.26 polynomial (|err| <= 1.5e-7 on erf,
+    # amplified by lin2 row sums) — tolerance reflects that, not fp noise
+    np.testing.assert_allclose(ours, ref, atol=5e-4)
+
+
 def test_affine_warp_kernel_matches_grid_sample(rng):
     import jax.numpy as jnp
 
