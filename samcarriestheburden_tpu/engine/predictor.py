@@ -1,10 +1,13 @@
 """SamPredictor: set-image-once / predict-many API
 (reference segment_anything/predictor.py).
 
-The encoder pass is jitted once per input shape; prompts re-use the cached
-embedding.  Accepts numpy arrays everywhere the reference accepts torch
-tensors (``predict_torch`` is kept as an alias of :meth:`predict_batched` for
-drop-in compatibility)."""
+The encoder input is zero-padded to the static (img_size, img_size) square on
+the host and normalised under a validity mask on device (sam.py:164-174
+semantics), so ONE encoder trace serves every image and AMG-crop size — the
+reference re-traces nothing because torch is eager, and a naive jit would
+recompile the ViT per distinct short side.  Accepts numpy arrays everywhere
+the reference accepts torch tensors (``predict_torch`` is kept as an alias of
+:meth:`predict_batched` for drop-in compatibility)."""
 
 from __future__ import annotations
 
@@ -23,17 +26,12 @@ class SamPredictor:
     def __init__(self, sam_model: SamModel, *, dtype=jnp.float32,
                  attention_impl=None):
         """``dtype``: encoder compute precision (bfloat16 for TPU serving)."""
-        from samcarriestheburden_tpu.engine.embeddings import default_attention_impl
-        from samcarriestheburden_tpu.models import image_encoder
+        from samcarriestheburden_tpu.engine.embeddings import make_encode_batch
 
         self.model = sam_model
         self.dtype = dtype
-        impl = attention_impl or default_attention_impl()
-        self._encode = jax.jit(
-            lambda params, x: image_encoder.apply(
-                params["image_encoder"], self.model.cfg.image_encoder,
-                self.model.preprocess(x)[None], dtype=dtype,
-                attention_impl=impl))
+        self._encode = make_encode_batch(sam_model, dtype=dtype,
+                                         attention_impl=attention_impl)
         self.reset_image()
 
     # ------------------------------------------------------------------
@@ -58,8 +56,12 @@ class SamPredictor:
         self.reset_image()
         self.original_size = tuple(int(v) for v in original_image_size)
         self.input_size = tuple(int(v) for v in transformed_image.shape[-2:])
-        self.features = self._encode(self.model.params,
-                                     jnp.asarray(transformed_image, jnp.float32))
+        size = self.model.img_size
+        padded = np.zeros((1, 3, size, size), np.float32)
+        padded[0, :, : self.input_size[0], : self.input_size[1]] = transformed_image
+        self.features = self._encode(
+            self.model.params, jnp.asarray(padded),
+            jnp.asarray([self.input_size], jnp.int32))
         self.is_image_set = True
 
     set_torch_image = set_input_image  # reference spelling

@@ -64,7 +64,7 @@ def fused_ln_mlp_residual(x: jnp.ndarray, ln_scale, ln_bias, w1, b1, w2, b2,
     t, e = x.shape
     m = w1.shape[1]
     if t_block is None:
-        t_block = min(512, t)
+        t_block = min(256, t)  # v5e sweep: 256 beats 512/1024 at ViT-H shapes
     grid = (pl.cdiv(t, t_block),)
     kernel = partial(_mlp_kernel, eps=eps)
     return pl.pallas_call(

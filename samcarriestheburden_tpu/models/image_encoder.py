@@ -192,8 +192,21 @@ def attention_apply(p: dict, x: jnp.ndarray, num_heads: int,
 # ---------------------------------------------------------------------------
 
 
+def _mlp_residual(p: dict, x: jnp.ndarray, cfg: ImageEncoderConfig,
+                  fused: bool) -> jnp.ndarray:
+    """x + mlp(LN2(x)) — via the fused Pallas kernel (one HBM round-trip,
+    kernels/mlp.py) when ``fused``, else the XLA composition."""
+    if fused:
+        from samcarriestheburden_tpu.kernels.mlp import mlp_residual_apply
+
+        return mlp_residual_apply(p["norm2"], p["mlp"], x,
+                                  eps=cfg.layer_norm_eps)
+    return x + mlp_block(p["mlp"], layer_norm(p["norm2"], x, cfg.layer_norm_eps))
+
+
 def block_apply(p: dict, x: jnp.ndarray, cfg: ImageEncoderConfig,
-                window_size: int, attention_impl=attention_apply) -> jnp.ndarray:
+                window_size: int, attention_impl=attention_apply,
+                fused_mlp: bool = False) -> jnp.ndarray:
     shortcut = x
     x = layer_norm(p["norm1"], x, cfg.layer_norm_eps)
     if window_size > 0:
@@ -203,12 +216,12 @@ def block_apply(p: dict, x: jnp.ndarray, cfg: ImageEncoderConfig,
     if window_size > 0:
         x = window_unpartition(x, window_size, pad_hw, (h, w))
     x = shortcut + x
-    return x + mlp_block(p["mlp"], layer_norm(p["norm2"], x, cfg.layer_norm_eps))
+    return _mlp_residual(p, x, cfg, fused_mlp)
 
 
 def _block_apply_windowed(p: dict, xw: jnp.ndarray, pad_valid: jnp.ndarray,
                           cfg: ImageEncoderConfig,
-                          attention_impl) -> jnp.ndarray:
+                          attention_impl, fused_mlp: bool = False) -> jnp.ndarray:
     """Windowed block evaluated *in window layout* (B·nW, ws, ws, C).
 
     Numerically identical to partition→block_apply→unpartition: the reference
@@ -221,7 +234,7 @@ def _block_apply_windowed(p: dict, xw: jnp.ndarray, pad_valid: jnp.ndarray,
     x = layer_norm(p["norm1"], xw, cfg.layer_norm_eps) * pad_valid
     x = attention_impl(p["attn"], x, cfg.num_heads, cfg.use_rel_pos)
     x = shortcut + x
-    return x + mlp_block(p["mlp"], layer_norm(p["norm2"], x, cfg.layer_norm_eps))
+    return _mlp_residual(p, x, cfg, fused_mlp)
 
 
 def _pad_valid_mask(b: int, h: int, w: int, window_size: int, dtype) -> jnp.ndarray:
@@ -263,7 +276,8 @@ def _block_apply_windowed_fused(p: dict, xw: jnp.ndarray, pad_valid: jnp.ndarray
 def apply(params: dict, cfg: ImageEncoderConfig, x: jnp.ndarray, *,
           dtype=jnp.float32, attention_impl=attention_apply,
           persistent_windows: bool = True,
-          fused_window_blocks: bool = False) -> jnp.ndarray:
+          fused_window_blocks: bool = False,
+          fused_mlp: bool = False) -> jnp.ndarray:
     """(B, 3, img, img) NCHW in (API parity) -> (B, out_chans, grid, grid) NCHW out.
 
     ``dtype`` is the compute precision for the transformer stack (bfloat16 on
@@ -290,7 +304,7 @@ def apply(params: dict, cfg: ImageEncoderConfig, x: jnp.ndarray, *,
                 if in_windows:
                     x = window_unpartition(x, ws, pad_hw, (h, w))
                     in_windows = False
-                x = block_apply(blk, x, cfg, 0, attention_impl)
+                x = block_apply(blk, x, cfg, 0, attention_impl, fused_mlp)
             else:
                 if not in_windows:
                     x, pad_hw = window_partition(x, ws)
@@ -299,13 +313,13 @@ def apply(params: dict, cfg: ImageEncoderConfig, x: jnp.ndarray, *,
                     x = _block_apply_windowed_fused(blk, x, pad_valid, cfg)
                 else:
                     x = _block_apply_windowed(blk, x, pad_valid, cfg,
-                                              attention_impl)
+                                              attention_impl, fused_mlp)
         if in_windows:
             x = window_unpartition(x, ws, pad_hw, (h, w))
     else:
         for i, blk in enumerate(params["blocks"]):
             ws = 0 if i in cfg.global_attn_indexes else cfg.window_size
-            x = block_apply(blk, x, cfg, ws, attention_impl)
+            x = block_apply(blk, x, cfg, ws, attention_impl, fused_mlp)
 
     n = params["neck"]
     x = x.astype(jnp.float32)
