@@ -66,9 +66,11 @@ def make_encode_batch(model: SamModel, dtype=jnp.bfloat16,
         impl = attention_impl
 
     # Fused window-block kernels measured slower end-to-end than the v1
-    # pallas-attention path on v5e (119 vs 92 ms/img) — keep opt-in until the
-    # kernel wins; see BENCHMARKS.md optimization log.
+    # pallas-attention path on v5e (119 vs 92 ms/img; per-head D=80 matmuls
+    # under-fill MXU lanes) — keep opt-in.  The fused LN+MLP+residual kernel
+    # DOES win (92 -> 83.5 ms/img with v1 attention); default it on TPU.
     fused_blocks = False
+    fused_mlp = jax.default_backend() == "tpu"
 
     @jax.jit
     def encode(params, imgs, input_sizes):
@@ -81,7 +83,8 @@ def make_encode_batch(model: SamModel, dtype=jnp.bfloat16,
         return image_encoder.apply(params["image_encoder"],
                                    model.cfg.image_encoder, x, dtype=dtype,
                                    attention_impl=impl,
-                                   fused_window_blocks=fused_blocks)
+                                   fused_window_blocks=fused_blocks,
+                                   fused_mlp=fused_mlp)
 
     return encode
 

@@ -73,29 +73,112 @@ def _attn_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *,
         o_ref[g] = out.astype(o_ref.dtype)
 
 
-@partial(jax.jit, static_argnames=("kh", "kw", "q_block", "g_block", "interpret"))
+def _attn_kernel_cat(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *,
+                     scale: float, kh: int, kw: int, g_block: int):
+    """Single-matmul logits variant: ``[q, rh/s, rw/s] @ [k, EhT, EwT]ᵀ · s``
+    computes q·kᵀ·s + rh·Eh + rw·Ew in ONE contraction of width D+Kh+Kw —
+    for D=80, Kh=Kw=14 that still fits one 128-wide MXU K-tile, so the two
+    bias matmuls come for free and the kernel issues half the small matmuls
+    of :func:`_attn_kernel`."""
+    n = kh * kw
+    # (N, Kh/Kw) transposed one-hot expansions, built on the VPU
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, kh), 0)
+    ehT = (row // kw == jax.lax.broadcasted_iota(jnp.int32, (n, kh), 1))
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, kw), 0)
+    ewT = (row % kw == jax.lax.broadcasted_iota(jnp.int32, (n, kw), 1))
+
+    inv = 1.0 / scale
+    for g in range(g_block):
+        q = q_ref[g]            # (qb, D)
+        k = k_ref[g]            # (N, D)
+        v = v_ref[g]            # (N, D)
+        dt = q.dtype
+        qcat = jnp.concatenate(
+            [q, (rh_ref[g].astype(jnp.float32) * inv).astype(dt),
+             (rw_ref[g].astype(jnp.float32) * inv).astype(dt)], axis=1)
+        kcat = jnp.concatenate([k, ehT.astype(dt), ewT.astype(dt)], axis=1)
+        logits = jax.lax.dot_general(
+            qcat, kcat, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale      # (qb, N)
+
+        logits = logits - jnp.max(logits, axis=-1, keepdims=True)
+        probs = jnp.exp(logits)
+        probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+
+        out = jax.lax.dot_general(
+            probs.astype(v.dtype), v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o_ref[g] = out.astype(o_ref.dtype)
+
+
+def _attn_kernel_phased(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *,
+                        scale: float, kh: int, kw: int, g_block: int):
+    """Phase-batched variant: one BATCHED dot_general per phase over the whole
+    g_block (qk+bias, then softmax, then av), so the MXU runs the small
+    matmuls back-to-back instead of stalling on the softmax of each group
+    (the serial qk->softmax->av chain of the per-group loop)."""
+    n = kh * kw
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, kh), 0)
+    ehT = (row // kw == jax.lax.broadcasted_iota(jnp.int32, (n, kh), 1))
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, kw), 0)
+    ewT = (row % kw == jax.lax.broadcasted_iota(jnp.int32, (n, kw), 1))
+
+    q = q_ref[:]                    # (g, qb, D)
+    k = k_ref[:]                    # (g, N, D)
+    v = v_ref[:]
+    dt = q.dtype
+    inv = 1.0 / scale
+    qcat = jnp.concatenate(
+        [q, (rh_ref[:].astype(jnp.float32) * inv).astype(dt),
+         (rw_ref[:].astype(jnp.float32) * inv).astype(dt)], axis=2)
+    ecat = jnp.broadcast_to(
+        jnp.concatenate([ehT.astype(dt), ewT.astype(dt)], axis=1)[None],
+        (q.shape[0], n, kh + kw))
+    kcat = jnp.concatenate([k, ecat], axis=2)
+    logits = jax.lax.dot_general(
+        qcat, kcat, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale        # (g, qb, N)
+
+    logits = logits - jnp.max(logits, axis=-1, keepdims=True)
+    probs = jnp.exp(logits)
+    probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+
+    out = jax.lax.dot_general(
+        probs.astype(dt), v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    o_ref[:] = out.astype(o_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("kh", "kw", "q_block", "g_block",
+                                   "cat_bias", "interpret"))
 def fused_rel_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                         rel_h: jnp.ndarray, rel_w: jnp.ndarray, *,
                         kh: int, kw: int, q_block: Optional[int] = None,
                         g_block: Optional[int] = None,
+                        cat_bias: str = "phased",
                         interpret: bool = False) -> jnp.ndarray:
     """q, k, v: (G, N, D); rel_h: (G, N, kh); rel_w: (G, N, kw) -> (G, N, D)."""
     g, n, d = q.shape
     assert n == kh * kw, f"N={n} must equal kh*kw={kh * kw}"
     scale = d ** -0.5
     if q_block is None:
-        q_block = n if n <= 1024 else 512
+        q_block = n if n <= 1024 else 1024
     assert n % q_block == 0
     if g_block is None:
         # small windows: batch several groups per program to amortise the
-        # per-program setup (v5e sweep: 25 > 16 > 8 > 4); big (global)
-        # problems: one group per program (sweep: g_block 1 > 2 > 4)
-        g_block = 25 if n <= 1024 else 1
+        # per-program setup (v5e sweep, phased kernel: 25 > 16 > 50 > 8);
+        # big (global) problems: g_block 2 at q_block 1024 won the sweep
+        g_block = 25 if n <= 1024 else 2
     while g % g_block:
         g_block -= 1
 
     grid = (g // g_block, n // q_block)
-    kernel = partial(_attn_kernel, scale=scale, kh=kh, kw=kw, g_block=g_block)
+    body = {"loop": _attn_kernel, "cat": _attn_kernel_cat,
+            "phased": _attn_kernel_phased}[
+        cat_bias if isinstance(cat_bias, str) else
+        ("cat" if cat_bias else "loop")]
+    kernel = partial(body, scale=scale, kh=kh, kw=kw, g_block=g_block)
     flops = 2 * g * n * n * d * 2 + 4 * g * n * n
     return pl.pallas_call(
         kernel,
@@ -120,10 +203,14 @@ def fused_rel_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 
 def attention_apply_pallas(p: dict, x: jnp.ndarray, num_heads: int,
-                           use_rel_pos: bool, *,
-                           interpret: bool = False) -> jnp.ndarray:
+                           use_rel_pos: bool, *, interpret: bool = False,
+                           qkv_pre: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Drop-in replacement for models.image_encoder.attention_apply backed by
-    the fused kernel.  x: (B, H, W, C) -> (B, H, W, C)."""
+    the fused kernel.  x: (B, H, W, C) -> (B, H, W, C).
+
+    ``qkv_pre``: optionally the already-projected (B·N, 3C) qkv activations
+    (from the fused LN+mask+linear kernel, kernels/mlp.py) — then ``x`` is
+    only consulted for its shape and ``use_rel_pos`` must hold."""
     from samcarriestheburden_tpu.models.common import linear
     from samcarriestheburden_tpu.models.image_encoder import (
         _rel_pos_indices, resize_rel_pos_table)
@@ -132,7 +219,9 @@ def attention_apply_pallas(p: dict, x: jnp.ndarray, num_heads: int,
     hd = c // num_heads
     n = h * w
 
-    qkv = linear(p["qkv"], x).reshape(b, n, 3, num_heads, hd)
+    assert qkv_pre is None or use_rel_pos
+    qkv = linear(p["qkv"], x) if qkv_pre is None else qkv_pre
+    qkv = qkv.reshape(b, n, 3, num_heads, hd)
     qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4)).reshape(3, b * num_heads, n, hd)
     q, k, v = qkv[0], qkv[1], qkv[2]
 

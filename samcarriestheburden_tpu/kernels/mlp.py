@@ -92,6 +92,58 @@ def fused_ln_mlp_residual(x: jnp.ndarray, ln_scale, ln_bias, w1, b1, w2, b2,
       w1, b1.reshape(1, -1), w2, b2.reshape(1, -1))
 
 
+def _ln_linear_kernel(x_ref, m_ref, g_ref, b_ref, w_ref, bw_ref, o_ref, *,
+                      eps: float):
+    x = x_ref[:]
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    xn = (xf - mean) * jax.lax.rsqrt(var + eps)
+    xn = xn * g_ref[0].astype(jnp.float32) + b_ref[0].astype(jnp.float32)
+    xn = xn * m_ref[:].astype(jnp.float32)          # pad-slot re-zeroing
+    y = jax.lax.dot_general(xn.astype(x.dtype), w_ref[:],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    o_ref[:] = (y + bw_ref[0].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("t_block", "eps", "interpret"))
+def fused_ln_masked_linear(x: jnp.ndarray, mask: jnp.ndarray, ln_scale,
+                           ln_bias, w, b, *, t_block: Optional[int] = None,
+                           eps: float = 1e-6,
+                           interpret: bool = False) -> jnp.ndarray:
+    """``(LN(x) * mask) @ w + b`` in one pass — the windowed-block qkv
+    projection with the pad re-zeroing (image_encoder._block_apply_windowed)
+    folded in.  x: (T, E); mask: (T, 1); w: (E, O) -> (T, O)."""
+    t, e = x.shape
+    o = w.shape[1]
+    if t_block is None:
+        t_block = min(256, t)
+    grid = (pl.cdiv(t, t_block),)
+    return pl.pallas_call(
+        partial(_ln_linear_kernel, eps=eps),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((t_block, e), lambda i: (i, 0)),
+            pl.BlockSpec((t_block, 1), lambda i: (i, 0)),
+            pl.BlockSpec((1, e), lambda i: (0, 0)),
+            pl.BlockSpec((1, e), lambda i: (0, 0)),
+            pl.BlockSpec((e, o), lambda i: (0, 0)),
+            pl.BlockSpec((1, o), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((t_block, o), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((t, o), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * t * e * o, transcendentals=0,
+            bytes_accessed=(t * (e + o) + e * o) * x.dtype.itemsize),
+        interpret=interpret,
+    )(x, mask, ln_scale.reshape(1, -1), ln_bias.reshape(1, -1),
+      w, b.reshape(1, -1))
+
+
 def mlp_residual_apply(p_norm: dict, p_mlp: dict, x: jnp.ndarray,
                        eps: float = 1e-6, interpret: bool = False) -> jnp.ndarray:
     """Drop-in for ``x + mlp_block(p_mlp, layer_norm(p_norm, x))`` on token

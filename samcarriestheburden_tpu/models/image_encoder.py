@@ -221,7 +221,8 @@ def block_apply(p: dict, x: jnp.ndarray, cfg: ImageEncoderConfig,
 
 def _block_apply_windowed(p: dict, xw: jnp.ndarray, pad_valid: jnp.ndarray,
                           cfg: ImageEncoderConfig,
-                          attention_impl, fused_mlp: bool = False) -> jnp.ndarray:
+                          attention_impl, fused_mlp: bool = False,
+                          fused_qkv: bool = False) -> jnp.ndarray:
     """Windowed block evaluated *in window layout* (B·nW, ws, ws, C).
 
     Numerically identical to partition→block_apply→unpartition: the reference
@@ -231,8 +232,27 @@ def _block_apply_windowed(p: dict, xw: jnp.ndarray, pad_valid: jnp.ndarray,
     first reach a real token (window-local attention).  All other ops are
     pointwise, so pad-slot contents never leak."""
     shortcut = xw
-    x = layer_norm(p["norm1"], xw, cfg.layer_norm_eps) * pad_valid
-    x = attention_impl(p["attn"], x, cfg.num_heads, cfg.use_rel_pos)
+    if fused_qkv:
+        # LN1 + pad re-zeroing + qkv projection in one Pallas pass; the
+        # attention impl (pallas) consumes the pre-projected activations
+        from samcarriestheburden_tpu.kernels.attention import attention_apply_pallas
+        from samcarriestheburden_tpu.kernels.mlp import fused_ln_masked_linear
+
+        wb, ws, _, e = xw.shape
+        t = wb * ws * ws
+        qkv_b = p["attn"]["qkv"].get("b")
+        if qkv_b is None:
+            qkv_b = jnp.zeros((p["attn"]["qkv"]["w"].shape[1],), jnp.float32)
+        qkv = fused_ln_masked_linear(
+            xw.reshape(t, e), pad_valid.reshape(t, 1),
+            p["norm1"]["scale"], p["norm1"]["bias"],
+            p["attn"]["qkv"]["w"].astype(xw.dtype), qkv_b,
+            eps=cfg.layer_norm_eps)
+        x = attention_apply_pallas(p["attn"], xw, cfg.num_heads,
+                                   cfg.use_rel_pos, qkv_pre=qkv)
+    else:
+        x = layer_norm(p["norm1"], xw, cfg.layer_norm_eps) * pad_valid
+        x = attention_impl(p["attn"], x, cfg.num_heads, cfg.use_rel_pos)
     x = shortcut + x
     return _mlp_residual(p, x, cfg, fused_mlp)
 
@@ -277,7 +297,8 @@ def apply(params: dict, cfg: ImageEncoderConfig, x: jnp.ndarray, *,
           dtype=jnp.float32, attention_impl=attention_apply,
           persistent_windows: bool = True,
           fused_window_blocks: bool = False,
-          fused_mlp: bool = False) -> jnp.ndarray:
+          fused_mlp: bool = False,
+          fused_qkv: bool = False) -> jnp.ndarray:
     """(B, 3, img, img) NCHW in (API parity) -> (B, out_chans, grid, grid) NCHW out.
 
     ``dtype`` is the compute precision for the transformer stack (bfloat16 on
@@ -313,7 +334,8 @@ def apply(params: dict, cfg: ImageEncoderConfig, x: jnp.ndarray, *,
                     x = _block_apply_windowed_fused(blk, x, pad_valid, cfg)
                 else:
                     x = _block_apply_windowed(blk, x, pad_valid, cfg,
-                                              attention_impl, fused_mlp)
+                                              attention_impl, fused_mlp,
+                                              fused_qkv)
         if in_windows:
             x = window_unpartition(x, ws, pad_hw, (h, w))
     else:

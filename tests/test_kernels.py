@@ -147,6 +147,27 @@ def test_fused_mlp_kernel_matches_reference(rng):
     np.testing.assert_allclose(ours, ref, atol=5e-4)
 
 
+def test_fused_ln_masked_linear_matches_reference(rng):
+    """(LN(x)*mask) @ w + b == the unfused composition (the windowed-block
+    qkv projection with pad re-zeroing folded in)."""
+    import jax.numpy as jnp
+
+    from samcarriestheburden_tpu.kernels.mlp import fused_ln_masked_linear
+    from samcarriestheburden_tpu.models.common import layer_norm, linear
+
+    t, e, o = 40, 64, 192
+    x = jnp.asarray(rng.standard_normal((t, e)), jnp.float32)
+    mask = jnp.asarray((rng.random((t, 1)) > 0.2), jnp.float32)
+    pn = {"scale": jnp.asarray(1 + rng.standard_normal(e) * 0.1, jnp.float32),
+          "bias": jnp.asarray(rng.standard_normal(e) * 0.1, jnp.float32)}
+    w = jnp.asarray(rng.standard_normal((e, o)) * 0.05, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(o) * 0.1, jnp.float32)
+    ref = np.asarray(linear({"w": w, "b": b}, layer_norm(pn, x) * mask))
+    ours = np.asarray(fused_ln_masked_linear(x, mask, pn["scale"], pn["bias"],
+                                             w, b, interpret=True))
+    np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+
 def test_affine_warp_kernel_matches_grid_sample(rng):
     import jax.numpy as jnp
 
