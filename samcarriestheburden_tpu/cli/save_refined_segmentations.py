@@ -33,6 +33,10 @@ def main(argv=None):
     p.add_argument("--struct_elem", default="square")
     p.add_argument("--radius", type=int, default=8)
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--img_batch", type=int, default=8,
+                   help="images per device dispatch (1 = reference-style "
+                        "per-image loop); batching amortises the decoder's "
+                        "dispatch overhead across the sweep")
     from samcarriestheburden_tpu.cli.common import add_profile_flag, profiled
     add_profile_flag(p)
     args = p.parse_args(argv)
@@ -97,18 +101,30 @@ def main(argv=None):
         if timer is None:
             from samcarriestheburden_tpu.profiling import PhaseTimer
             timer = PhaseTimer(sync=False)  # no-op accounting
-        for name in tqdm(files, unit="img", desc="Refine segmentation"):
+        bs = max(1, args.img_batch)
+        for i in tqdm(range(0, len(files), bs), unit="batch",
+                      desc="Refine segmentation"):
+            chunk = files[i:i + bs]
             with timer.phase("load+unet"):
-                img = cv2.imread(str(img_dir / f"{name}.png"),
-                                 cv2.IMREAD_GRAYSCALE)
-                img = cv2.resize(img, (W, H), interpolation=cv2.INTER_LINEAR)
-                x = jnp.asarray(img[None, None].astype(np.float32) / 255.0)
-                y_hat = predict_probs(x)[0]
+                imgs = []
+                for name in chunk:
+                    img = cv2.imread(str(img_dir / f"{name}.png"),
+                                     cv2.IMREAD_GRAYSCALE)
+                    imgs.append(cv2.resize(img, (W, H),
+                                           interpolation=cv2.INTER_LINEAR))
+                x = jnp.asarray(np.stack(imgs)[:, None].astype(np.float32) / 255.0)
+                y_hat = predict_probs(x)
             with timer.phase("enhance"):
-                refined, est_dice = seg_processor.enhance(y_hat, name)
+                if bs == 1:
+                    refined, est_dice = seg_processor.enhance(y_hat[0], chunk[0])
+                    refined, est_dice = refined[None], est_dice[None]
+                else:
+                    refined, est_dice = seg_processor.enhance_batch(y_hat, chunk)
             with timer.phase("h5_write"):
-                writer.write(name, np.asarray(refined).astype(np.uint8),
-                             estimated_dice=np.asarray(est_dice))
+                refined = np.asarray(refined).astype(np.uint8)
+                est_dice = np.asarray(est_dice)
+                for j, name in enumerate(chunk):
+                    writer.write(name, refined[j], estimated_dice=est_dice[j])
     print(f"wrote {out}")
 
 

@@ -65,12 +65,16 @@ def make_encode_batch(model: SamModel, dtype=jnp.bfloat16,
     else:
         impl = attention_impl
 
-    # Fused window-block kernels measured slower end-to-end than the v1
-    # pallas-attention path on v5e (119 vs 92 ms/img; per-head D=80 matmuls
-    # under-fill MXU lanes) — keep opt-in.  The fused LN+MLP+residual kernel
-    # DOES win (92 -> 83.5 ms/img with v1 attention); default it on TPU.
+    # v5e-measured encoder path selection (BENCHMARKS.md optimization log):
+    # fused LN+MLP+residual kernel 92 -> 83.5 ms/img, and the head-major
+    # windowed attention v3 (fused LN+qkv with per-head column groups, no
+    # head-split transposes) 83.5 -> 67.1 ms/img.  The fully-in-kernel v2
+    # window blocks LOST (119 ms/img; per-head D=80 matmuls under-fill MXU
+    # lanes) — keep opt-in only.
     fused_blocks = False
-    fused_mlp = jax.default_backend() == "tpu"
+    on_tpu = jax.default_backend() == "tpu"
+    fused_mlp = on_tpu
+    fused_qkv = on_tpu
 
     @jax.jit
     def encode(params, imgs, input_sizes):
@@ -84,7 +88,7 @@ def make_encode_batch(model: SamModel, dtype=jnp.bfloat16,
                                    model.cfg.image_encoder, x, dtype=dtype,
                                    attention_impl=impl,
                                    fused_window_blocks=fused_blocks,
-                                   fused_mlp=fused_mlp)
+                                   fused_mlp=fused_mlp, fused_qkv=fused_qkv)
 
     return encode
 

@@ -80,6 +80,27 @@ class SegEnhance:
         self.last_preprocessed_seg = self._morph(seg.astype(jnp.float32))
         return self.refiner.refine(seg, file_name)
 
+    def enhance_batch(self, segs, file_names):
+        """All-image all-class enhancement in ONE device dispatch.
+
+        ``segs``: (N, C, H, W).  Semantically `[self.enhance(s, f) for ...]`
+        (the per-image sweep loop of save_refined_segmentations.py) but the
+        CCL + morphology + refinement pipeline is vmapped over images, which
+        amortises the decoder's dispatch/small-matmul overhead across the
+        sweep — the per-image path spends most of its wall time there.
+        Requires a refiner with `refine_batch` (SamSegRefiner)."""
+        segs = jnp.asarray(segs)
+        assert segs.ndim == 4, "segs should be 4D (N, C, H, W)"
+        num_iter = max(segs.shape[-2:])
+        if self.ccl_selection is not None:
+            segs = jax.vmap(
+                lambda s: remove_all_but_one_connected_component(
+                    s.astype(jnp.float32), self.ccl_selection, num_iter)
+            )(segs)
+        self.last_preprocessed_seg = jax.vmap(self._morph)(
+            segs.astype(jnp.float32))
+        return self.refiner.refine_batch(segs, file_names)
+
 
 # ---------------------------------------------------------------------------
 # SAM refiner (reference seg_refinement.py:75-116)
@@ -206,6 +227,31 @@ class SamSegRefiner(SegRefiner):
         refined, est_dice = self._get_jitted(seg_hw)(
             bool_mask, features, jnp.asarray(input_size), jnp.asarray(original_size))
         return refined, est_dice
+
+    def refine_batch(self, segs, file_names):
+        """(N, C, H, W) masks + per-image embeddings -> one vmapped dispatch.
+        Returns (refined (N, C, H, W) bool, est_dice (N, C))."""
+        segs = jnp.asarray(segs)
+        seg_hw = tuple(int(s) for s in segs.shape[-2:])
+        head = self.sam_predictor
+        feats = jnp.stack([jnp.asarray(head.reader.features(f))
+                           for f in file_names])
+        sizes = [head.sizes(f) for f in file_names]
+        orig = jnp.asarray(np.stack([s[0] for s in sizes]))
+        inp = jnp.asarray(np.stack([s[1] for s in sizes]))
+
+        cache = getattr(head, "_refine_jit_cache", None)
+        if cache is None:
+            cache = {}
+            head._refine_jit_cache = cache
+        key = ("batch", tuple(self.prompts2use1st),
+               tuple(self.prompts2use2nd) if self.prompts2use2nd else None,
+               seg_hw)
+        fn = cache.get(key)
+        if fn is None:
+            fn = jax.jit(jax.vmap(partial(self._refine_batched, seg_hw=seg_hw)))
+            cache[key] = fn
+        return fn(segs.astype(bool), feats, inp, orig)
 
 
 # ---------------------------------------------------------------------------

@@ -202,6 +202,122 @@ def fused_rel_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     )(q, k, v, rel_h, rel_w)
 
 
+# ---------------------------------------------------------------------------
+# v3: head-major windowed attention — consumes the UN-transposed qkv.
+#
+# The encoder trace showed ~16 ms/img going into the (b, n, 3, heads, hd)
+# head-split transpose + the qkv[0/1/2] slices + squeezes around the v1
+# kernel.  Here the qkv projection writes columns grouped per head
+# ([q_h | k_h | v_h] padded to a 128-multiple), so the kernel BlockSpec
+# slices one head's activations directly off the matmul output and no
+# reordering ever touches HBM.  The output stays head-major
+# (heads, wb, n, hd); the output projection contracts (head, hd) jointly via
+# one dot_general, which XLA folds into a single (T, heads*hd) matmul.
+# ---------------------------------------------------------------------------
+
+
+def _headmajor_pad(hd: int) -> int:
+    return ((3 * hd + 127) // 128) * 128
+
+
+def prepare_qkv_headmajor(p_attn: dict, num_heads: int, dtype):
+    """Permute + pad the qkv weight columns into per-head groups.
+
+    (E, 3E) with columns ordered (3, heads, hd) -> (E, heads*P) ordered
+    (heads, [q|k|v] + zero pad), P = 3*hd rounded up to 128."""
+    w = p_attn["qkv"]["w"]
+    e = w.shape[0]
+    hd = e // num_heads
+    pad = _headmajor_pad(hd)
+    w = w.reshape(e, 3, num_heads, hd)
+    w = jnp.transpose(w, (0, 2, 1, 3)).reshape(e, num_heads, 3 * hd)
+    w = jnp.pad(w, ((0, 0), (0, 0), (0, pad - 3 * hd)))
+    b = p_attn["qkv"].get("b")
+    if b is None:
+        b = jnp.zeros((3 * e,), jnp.float32)
+    b = jnp.transpose(b.reshape(3, num_heads, hd), (1, 0, 2)).reshape(
+        num_heads, 3 * hd)
+    b = jnp.pad(b, ((0, 0), (0, pad - 3 * hd)))
+    return w.reshape(e, num_heads * pad).astype(dtype), b.reshape(-1)
+
+
+def _attn_kernel_headmajor(qkv_ref, rh_ref, rw_ref, o_ref, *,
+                           scale: float, kh: int, kw: int, hd: int):
+    n = kh * kw
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, kh), 0)
+    ehT = (row // kw == jax.lax.broadcasted_iota(jnp.int32, (n, kh), 1))
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, kw), 0)
+    ewT = (row % kw == jax.lax.broadcasted_iota(jnp.int32, (n, kw), 1))
+
+    qkv = qkv_ref[:]                 # (g, n, P) — one head's columns
+    q = qkv[:, :, :hd]
+    k = qkv[:, :, hd:2 * hd]
+    v = qkv[:, :, 2 * hd:3 * hd]
+    dt = qkv.dtype
+    inv = 1.0 / scale
+    qcat = jnp.concatenate(
+        [q, (rh_ref[0].astype(jnp.float32) * inv).astype(dt),
+         (rw_ref[0].astype(jnp.float32) * inv).astype(dt)], axis=2)
+    ecat = jnp.broadcast_to(
+        jnp.concatenate([ehT.astype(dt), ewT.astype(dt)], axis=1)[None],
+        (q.shape[0], n, kh + kw))
+    kcat = jnp.concatenate([k, ecat], axis=2)
+    logits = jax.lax.dot_general(
+        qcat, kcat, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale          # (g, n, n)
+
+    logits = logits - jnp.max(logits, axis=-1, keepdims=True)
+    probs = jnp.exp(logits)
+    probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+
+    out = jax.lax.dot_general(
+        probs.astype(dt), v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("kh", "kw", "heads", "hd", "g_block",
+                                   "interpret"))
+def fused_rel_attention_headmajor(qkv: jnp.ndarray, rel_h: jnp.ndarray,
+                                  rel_w: jnp.ndarray, *, kh: int, kw: int,
+                                  heads: int, hd: int,
+                                  g_block: Optional[int] = None,
+                                  interpret: bool = False) -> jnp.ndarray:
+    """qkv: (Wb, N, heads*P) head-grouped projections (prepare_qkv_headmajor);
+    rel_h: (heads, Wb, N, kh); rel_w: (heads, Wb, N, kw)
+    -> (heads, Wb, N, hd) attention output (pre output-projection)."""
+    wb, n, hp = qkv.shape
+    assert n == kh * kw
+    p = hp // heads
+    assert p == _headmajor_pad(hd), (p, hd)
+    scale = hd ** -0.5
+    if g_block is None:
+        g_block = 25
+    while wb % g_block:
+        g_block -= 1
+    grid = (wb // g_block, heads)
+    kernel = partial(_attn_kernel_headmajor, scale=scale, kh=kh, kw=kw, hd=hd)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((g_block, n, p), lambda i, h: (i, 0, h)),
+            pl.BlockSpec((1, g_block, n, kh), lambda i, h: (h, i, 0, 0)),
+            pl.BlockSpec((1, g_block, n, kw), lambda i, h: (h, i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, g_block, n, hd), lambda i, h: (h, i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((heads, wb, n, hd), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * wb * heads * n * n * (hd + kh + kw) * 2,
+            transcendentals=wb * heads * n * n,
+            bytes_accessed=2 * qkv.size * qkv.dtype.itemsize),
+        interpret=interpret,
+    )(qkv, rel_h, rel_w)
+
+
 def attention_apply_pallas(p: dict, x: jnp.ndarray, num_heads: int,
                            use_rel_pos: bool, *, interpret: bool = False,
                            qkv_pre: Optional[jnp.ndarray] = None) -> jnp.ndarray:

@@ -233,28 +233,65 @@ def _block_apply_windowed(p: dict, xw: jnp.ndarray, pad_valid: jnp.ndarray,
     pointwise, so pad-slot contents never leak."""
     shortcut = xw
     if fused_qkv:
-        # LN1 + pad re-zeroing + qkv projection in one Pallas pass; the
-        # attention impl (pallas) consumes the pre-projected activations
-        from samcarriestheburden_tpu.kernels.attention import attention_apply_pallas
-        from samcarriestheburden_tpu.kernels.mlp import fused_ln_masked_linear
-
-        wb, ws, _, e = xw.shape
-        t = wb * ws * ws
-        qkv_b = p["attn"]["qkv"].get("b")
-        if qkv_b is None:
-            qkv_b = jnp.zeros((p["attn"]["qkv"]["w"].shape[1],), jnp.float32)
-        qkv = fused_ln_masked_linear(
-            xw.reshape(t, e), pad_valid.reshape(t, 1),
-            p["norm1"]["scale"], p["norm1"]["bias"],
-            p["attn"]["qkv"]["w"].astype(xw.dtype), qkv_b,
-            eps=cfg.layer_norm_eps)
-        x = attention_apply_pallas(p["attn"], xw, cfg.num_heads,
-                                   cfg.use_rel_pos, qkv_pre=qkv)
+        x = _windowed_attention_headmajor(p, xw, pad_valid, cfg)
     else:
         x = layer_norm(p["norm1"], xw, cfg.layer_norm_eps) * pad_valid
         x = attention_impl(p["attn"], x, cfg.num_heads, cfg.use_rel_pos)
     x = shortcut + x
     return _mlp_residual(p, x, cfg, fused_mlp)
+
+
+def _windowed_attention_headmajor(p: dict, xw: jnp.ndarray,
+                                  pad_valid: jnp.ndarray,
+                                  cfg: ImageEncoderConfig,
+                                  interpret: bool = False) -> jnp.ndarray:
+    """Transpose-free windowed attention: LN1 + pad re-zeroing + qkv fuse into
+    one Pallas pass emitting per-head column groups; the head-major kernel
+    slices heads via its BlockSpec; the output projection contracts
+    (head, hd) jointly — no head-split transpose/slice/squeeze touches HBM
+    (they were ~16 ms/img in the v1 path's trace).  Numerically equivalent to
+    ``layer_norm -> attention_apply -> proj`` (interpret-tested)."""
+    from samcarriestheburden_tpu.kernels.attention import (
+        fused_rel_attention_headmajor, prepare_qkv_headmajor)
+    from samcarriestheburden_tpu.kernels.mlp import fused_ln_masked_linear
+
+    wb, ws, _, e = xw.shape
+    n = ws * ws
+    heads = cfg.num_heads
+    hd = e // heads
+    t = wb * n
+    wq, bq = prepare_qkv_headmajor(p["attn"], heads, xw.dtype)
+    qkv = fused_ln_masked_linear(
+        xw.reshape(t, e), pad_valid.reshape(t, 1),
+        p["norm1"]["scale"], p["norm1"]["bias"], wq, bq,
+        eps=cfg.layer_norm_eps, interpret=interpret)       # (T, heads*P)
+
+    pad = wq.shape[1] // heads
+    qh = qkv.reshape(wb, ws, ws, heads, pad)[..., :hd]     # (wb,ws,ws,h,hd)
+    th = resize_rel_pos_table(p["attn"]["rel_pos_h"], 2 * ws - 1)[
+        _rel_pos_indices(ws, ws)].astype(xw.dtype)          # (ws, ws, hd)
+    tw = resize_rel_pos_table(p["attn"]["rel_pos_w"], 2 * ws - 1)[
+        _rel_pos_indices(ws, ws)].astype(xw.dtype)
+    rel_h = jnp.einsum("bpqhc,pkc->hbpqk", qh, th,
+                       preferred_element_type=jnp.float32)
+    rel_w = jnp.einsum("bpqhc,qkc->hbpqk", qh, tw,
+                       preferred_element_type=jnp.float32)
+    rel_h = rel_h.reshape(heads, wb, n, ws).astype(xw.dtype)
+    rel_w = rel_w.reshape(heads, wb, n, ws).astype(xw.dtype)
+
+    out = fused_rel_attention_headmajor(
+        qkv.reshape(wb, n, heads * pad), rel_h, rel_w,
+        kh=ws, kw=ws, heads=heads, hd=hd,
+        interpret=interpret)                                # (h, wb, n, hd)
+
+    proj = p["attn"]["proj"]
+    wp = proj["w"].reshape(heads, hd, e).astype(xw.dtype)
+    a = jax.lax.dot_general(out.reshape(heads, t, hd), wp,
+                            (((0, 2), (0, 1)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    if "b" in proj:
+        a = a + proj["b"].astype(jnp.float32)
+    return a.reshape(wb, ws, ws, e).astype(xw.dtype)
 
 
 def _pad_valid_mask(b: int, h: int, w: int, window_size: int, dtype) -> jnp.ndarray:

@@ -147,6 +147,37 @@ def test_fused_mlp_kernel_matches_reference(rng):
     np.testing.assert_allclose(ours, ref, atol=5e-4)
 
 
+def test_headmajor_windowed_attention_matches_unfused(rng):
+    """v3 transpose-free path (fused LN+qkv head-grouped columns ->
+    head-major kernel -> joint (head, hd) projection) == LN -> attention ->
+    proj composition."""
+    import jax
+
+    cfg = sam_vit_t_config().image_encoder
+    params = image_encoder.init(jax.random.PRNGKey(1), cfg)
+    blk = params["blocks"][0]
+    key = jax.random.PRNGKey(2)
+    blk["attn"]["rel_pos_h"] = jax.random.normal(
+        key, blk["attn"]["rel_pos_h"].shape) * 0.1
+    blk["attn"]["rel_pos_w"] = jax.random.normal(
+        key, blk["attn"]["rel_pos_w"].shape) * 0.1
+
+    ws = cfg.window_size
+    wb = 4
+    xw = rng.standard_normal((wb, ws, ws, cfg.embed_dim)).astype(np.float32)
+    pad_valid = np.ones((wb, ws, ws, 1), np.float32)
+    pad_valid[-1, :, -2:] = 0.0
+
+    from samcarriestheburden_tpu.models.common import layer_norm
+
+    x = layer_norm(blk["norm1"], xw, cfg.layer_norm_eps) * pad_valid
+    ref = np.asarray(image_encoder.attention_apply(
+        blk["attn"], x, cfg.num_heads, cfg.use_rel_pos))
+    ours = np.asarray(image_encoder._windowed_attention_headmajor(
+        blk, xw, pad_valid, cfg, interpret=True))
+    np.testing.assert_allclose(ours, ref, atol=2e-4)
+
+
 def test_fused_ln_masked_linear_matches_reference(rng):
     """(LN(x)*mask) @ w + b == the unfused composition (the windowed-block
     qkv projection with pad re-zeroing folded in)."""

@@ -105,6 +105,27 @@ def test_seg_enhance_pipeline(head):
     assert np.asarray(enh.last_preprocessed_seg).shape == (3, *SEG_HW)
 
 
+def test_enhance_batch_matches_per_image(head):
+    """The single-dispatch image-batched sweep path == the per-image loop."""
+    rng = np.random.default_rng(11)
+    segs = np.stack([_seg_probs(),
+                     np.clip(_seg_probs()
+                             + rng.uniform(-0.2, 0.2, (3, *SEG_HW)), 0, 1)
+                     .astype(np.float32)])
+    names = ["img_a", "img_b"]
+    refiner = SamSegRefiner(head, prompts2use=[["box"],
+                                               ["pos_points", "neg_points"]])
+    enh = SegEnhance(refiner, "highest_probability", "dilation", "square", 8)
+    seq = [enh.enhance(s, n) for s, n in zip(segs, names)]
+    got_r, got_d = enh.enhance_batch(segs, names)
+    for i in range(2):
+        np.testing.assert_array_equal(np.asarray(got_r[i]),
+                                      np.asarray(seq[i][0]))
+        np.testing.assert_allclose(np.asarray(got_d[i]),
+                                   np.asarray(seq[i][1]), atol=1e-5)
+    assert np.asarray(enh.last_preprocessed_seg).shape == (2, 3, *SEG_HW)
+
+
 def test_seg_enhance_identity_morph(head):
     refiner = SamSegRefiner(head, prompts2use=["box"])
     enh = SegEnhance(refiner, None, "erosion", "square", 0, "cpu")

@@ -92,8 +92,19 @@ def bench_refine_sweep(model_name: str, n_imgs: int, seg_hw, smoke: bool):
         refined, est = enh.enhance(prob, s)
         np.asarray(refined)  # host sync, like the CLI writing to h5
     dt = time.perf_counter() - t0
+
+    # image-batched sweep (cli --img_batch): one dispatch per chunk
+    bs = min(8, n_imgs)
+    seg_arr = np.stack(segs)
+    np.asarray(enh.enhance_batch(seg_arr[:bs], stems[:bs])[0])
+    t0 = time.perf_counter()
+    for i in range(0, n_imgs, bs):
+        refined, est = enh.enhance_batch(seg_arr[i:i + bs], stems[i:i + bs])
+        np.asarray(refined)
+    dt_b = time.perf_counter() - t0
     return {"images_per_sec": round(n_imgs / dt, 3),
-            "n_images": n_imgs, "seg_hw": list(seg_hw)}
+            "images_per_sec_batched": round(n_imgs / dt_b, 3),
+            "img_batch": bs, "n_images": n_imgs, "seg_hw": list(seg_hw)}
 
 
 def bench_training(smoke: bool):
