@@ -68,6 +68,9 @@ def main():
                         choices=["vit_b", "vit_l", "vit_h"])
     parser.add_argument("--batch", type=int, default=4)
     parser.add_argument("--attention", choices=["xla", "pallas", "auto"], default="auto")
+    parser.add_argument("--enhance_batch", type=int, default=8,
+                        help="images per refinement dispatch (matches the "
+                             "sweep CLI's --img_batch; 1 = per-image)")
     parser.add_argument("--iters", type=int, default=5)
     args = parser.parse_args()
 
@@ -116,8 +119,8 @@ def main():
     encode = make_encode_batch(model, dtype=dtype, attention_impl=attention_impl)
     imgs = jnp.asarray(rng.integers(0, 255, (batch, 3, size, size)), jnp.uint8)
     sizes = jnp.tile(jnp.asarray([[size, int(size * 0.7)]], jnp.int32), (batch, 1))
-    t_encode = _time_it(lambda a, b: encode(model.params, a, b), imgs, sizes,
-                        iters=args.iters, warmup=2)
+    t_encode = _time_it(lambda a, b, p: encode(p, a, b), imgs, sizes,
+                        model.params, iters=args.iters, warmup=2)
     embed_per_sec = batch / t_encode
 
     # ---- refinement decode: 17 classes x 2 rounds in 2 dispatches ------
@@ -187,14 +190,16 @@ def main():
     enh = SegEnhance(refiner, "highest_probability", "dilation", "square", 8)
     num_iter = max(seg_hw)
 
-    @jax.jit
-    def enhance_full(prob_seg, feats, inp, orig):
+    def enhance_one(prob_seg, feats, inp, orig):
         seg = remove_all_but_one_connected_component(
             prob_seg, "highest_probability", num_iter)
         morphed = enh._morph(seg)  # reference side-buffer — real cost
         refined, est = refiner._refine_batched(
             seg.astype(bool), feats, inp, orig, seg_hw)
         return refined, est, morphed
+
+    eb = 1 if args.smoke else args.enhance_batch
+    enhance_full = jax.jit(jax.vmap(enhance_one) if eb > 1 else enhance_one)
 
     # representative U-Net output: one elongated soft blob per class
     yy, xx = np.mgrid[: seg_hw[0], : seg_hw[1]]
@@ -204,9 +209,13 @@ def main():
         ry, rx = rng.uniform(0.1, 0.3) * seg_hw[0], rng.uniform(0.05, 0.2) * seg_hw[1]
         d2 = ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2
         prob[c] = np.clip(1.2 - d2, 0, 1)
-    t_enhance = _time_it(enhance_full, jnp.asarray(prob), features,
-                         jnp.asarray(input_size), jnp.asarray(original_size),
-                         iters=args.iters, warmup=2)
+    tile = (lambda a: jnp.tile(jnp.asarray(a)[None],
+                               (eb,) + (1,) * np.ndim(a))) if eb > 1 \
+        else (lambda a: jnp.asarray(a))
+    t_enhance = _time_it(enhance_full, tile(prob), tile(features),
+                         tile(np.asarray(input_size)),
+                         tile(np.asarray(original_size)),
+                         iters=args.iters, warmup=2) / eb
 
     per_image = 1.0 / embed_per_sec + t_enhance
     value = 1.0 / per_image
@@ -220,6 +229,7 @@ def main():
             "embed_images_per_sec": round(embed_per_sec, 4),
             "refined_masks_per_sec": round(masks_per_sec, 2),
             "full_enhance_images_per_sec": round(1.0 / t_enhance, 2),
+            "enhance_batch": eb,
             "seg_grid_hw": list(seg_hw),
             "encoder_batch": batch,
             "attention": args.attention,

@@ -318,6 +318,83 @@ def fused_rel_attention_headmajor(qkv: jnp.ndarray, rel_h: jnp.ndarray,
     )(qkv, rel_h, rel_w)
 
 
+def _attn_kernel_headmajor_qb(qq_ref, kv_ref, rh_ref, rw_ref, o_ref, *,
+                              scale: float, kh: int, kw: int, hd: int):
+    """q-blocked head-major body (global layers: N too big for one block)."""
+    n = kh * kw
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, kh), 0)
+    ehT = (row // kw == jax.lax.broadcasted_iota(jnp.int32, (n, kh), 1))
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, kw), 0)
+    ewT = (row % kw == jax.lax.broadcasted_iota(jnp.int32, (n, kw), 1))
+
+    q = qq_ref[0][:, :hd]                       # (qb, hd)
+    kv = kv_ref[0]                              # (n, P)
+    k = kv[:, hd:2 * hd]
+    v = kv[:, 2 * hd:3 * hd]
+    dt = q.dtype
+    inv = 1.0 / scale
+    qcat = jnp.concatenate(
+        [q, (rh_ref[0, 0].astype(jnp.float32) * inv).astype(dt),
+         (rw_ref[0, 0].astype(jnp.float32) * inv).astype(dt)], axis=1)
+    kcat = jnp.concatenate([k, ehT.astype(dt), ewT.astype(dt)], axis=1)
+    logits = jax.lax.dot_general(
+        qcat, kcat, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale          # (qb, n)
+
+    logits = logits - jnp.max(logits, axis=-1, keepdims=True)
+    probs = jnp.exp(logits)
+    probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+
+    out = jax.lax.dot_general(
+        probs.astype(dt), v, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[0, 0] = out.astype(o_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("kh", "kw", "heads", "hd", "q_block",
+                                   "interpret"))
+def fused_rel_attention_headmajor_global(qkv: jnp.ndarray, rel_h: jnp.ndarray,
+                                         rel_w: jnp.ndarray, *, kh: int,
+                                         kw: int, heads: int, hd: int,
+                                         q_block: int = 1024,
+                                         interpret: bool = False) -> jnp.ndarray:
+    """Global-layer analogue of :func:`fused_rel_attention_headmajor`.
+
+    qkv: (B, N, heads*P); rel_h: (heads, B, N, kh); rel_w: (heads, B, N, kw)
+    -> (heads, B, N, hd).  The q axis is blocked (logits tile q_block x N in
+    fp32 VMEM); k/v rows ride along as the full-N block of the same array."""
+    b, n, hp = qkv.shape
+    assert n == kh * kw
+    p = hp // heads
+    assert p == _headmajor_pad(hd), (p, hd)
+    scale = hd ** -0.5
+    q_block = min(q_block, n)
+    grid = (b, n // q_block, heads)
+    kernel = partial(_attn_kernel_headmajor_qb, scale=scale, kh=kh, kw=kw,
+                     hd=hd)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, q_block, p), lambda i, j, h: (i, j, h)),
+            pl.BlockSpec((1, n, p), lambda i, j, h: (i, 0, h)),
+            pl.BlockSpec((1, 1, q_block, kh), lambda i, j, h: (h, i, j, 0)),
+            pl.BlockSpec((1, 1, q_block, kw), lambda i, j, h: (h, i, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, q_block, hd),
+                               lambda i, j, h: (h, i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((heads, b, n, hd), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * heads * n * n * (hd + kh + kw) * 2,
+            transcendentals=b * heads * n * n,
+            bytes_accessed=2 * qkv.size * qkv.dtype.itemsize),
+        interpret=interpret,
+    )(qkv, qkv, rel_h, rel_w)
+
+
 def attention_apply_pallas(p: dict, x: jnp.ndarray, num_heads: int,
                            use_rel_pos: bool, *, interpret: bool = False,
                            qkv_pre: Optional[jnp.ndarray] = None) -> jnp.ndarray:

@@ -206,8 +206,11 @@ def _mlp_residual(p: dict, x: jnp.ndarray, cfg: ImageEncoderConfig,
 
 def block_apply(p: dict, x: jnp.ndarray, cfg: ImageEncoderConfig,
                 window_size: int, attention_impl=attention_apply,
-                fused_mlp: bool = False) -> jnp.ndarray:
+                fused_mlp: bool = False, fused_qkv: bool = False) -> jnp.ndarray:
     shortcut = x
+    if fused_qkv and window_size == 0 and cfg.use_rel_pos:
+        a = _global_attention_headmajor(p, x, cfg)
+        return _mlp_residual(p, shortcut + a, cfg, fused_mlp)
     x = layer_norm(p["norm1"], x, cfg.layer_norm_eps)
     if window_size > 0:
         h, w = x.shape[1], x.shape[2]
@@ -217,6 +220,53 @@ def block_apply(p: dict, x: jnp.ndarray, cfg: ImageEncoderConfig,
         x = window_unpartition(x, window_size, pad_hw, (h, w))
     x = shortcut + x
     return _mlp_residual(p, x, cfg, fused_mlp)
+
+
+def _global_attention_headmajor(p: dict, x: jnp.ndarray,
+                                cfg: ImageEncoderConfig,
+                                interpret: bool = False) -> jnp.ndarray:
+    """Transpose-free global-layer attention (see
+    :func:`_windowed_attention_headmajor`; q-blocked kernel variant)."""
+    from samcarriestheburden_tpu.kernels.attention import (
+        fused_rel_attention_headmajor_global, prepare_qkv_headmajor)
+    from samcarriestheburden_tpu.kernels.mlp import fused_ln_masked_linear
+
+    b, gh, gw, e = x.shape
+    n = gh * gw
+    heads = cfg.num_heads
+    hd = e // heads
+    t = b * n
+    wq, bq = prepare_qkv_headmajor(p["attn"], heads, x.dtype)
+    ones = jnp.ones((t, 1), x.dtype)
+    qkv = fused_ln_masked_linear(
+        x.reshape(t, e), ones, p["norm1"]["scale"], p["norm1"]["bias"],
+        wq, bq, eps=cfg.layer_norm_eps, interpret=interpret)
+
+    pad = wq.shape[1] // heads
+    qh = qkv.reshape(b, gh, gw, heads, pad)[..., :hd]
+    th = resize_rel_pos_table(p["attn"]["rel_pos_h"], 2 * gh - 1)[
+        _rel_pos_indices(gh, gh)].astype(x.dtype)
+    tw = resize_rel_pos_table(p["attn"]["rel_pos_w"], 2 * gw - 1)[
+        _rel_pos_indices(gw, gw)].astype(x.dtype)
+    rel_h = jnp.einsum("bpqhc,pkc->hbpqk", qh, th,
+                       preferred_element_type=jnp.float32)
+    rel_w = jnp.einsum("bpqhc,qkc->hbpqk", qh, tw,
+                       preferred_element_type=jnp.float32)
+    rel_h = rel_h.reshape(heads, b, n, gh).astype(x.dtype)
+    rel_w = rel_w.reshape(heads, b, n, gw).astype(x.dtype)
+
+    out = fused_rel_attention_headmajor_global(
+        qkv.reshape(b, n, heads * pad), rel_h, rel_w,
+        kh=gh, kw=gw, heads=heads, hd=hd, interpret=interpret)
+
+    proj = p["attn"]["proj"]
+    wp = proj["w"].reshape(heads, hd, e).astype(x.dtype)
+    a = jax.lax.dot_general(out.reshape(heads, t, hd), wp,
+                            (((0, 2), (0, 1)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    if "b" in proj:
+        a = a + proj["b"].astype(jnp.float32)
+    return a.reshape(b, gh, gw, e).astype(x.dtype)
 
 
 def _block_apply_windowed(p: dict, xw: jnp.ndarray, pad_valid: jnp.ndarray,
@@ -362,7 +412,8 @@ def apply(params: dict, cfg: ImageEncoderConfig, x: jnp.ndarray, *,
                 if in_windows:
                     x = window_unpartition(x, ws, pad_hw, (h, w))
                     in_windows = False
-                x = block_apply(blk, x, cfg, 0, attention_impl, fused_mlp)
+                x = block_apply(blk, x, cfg, 0, attention_impl, fused_mlp,
+                                fused_qkv)
             else:
                 if not in_windows:
                     x, pad_hw = window_partition(x, ws)
@@ -378,7 +429,8 @@ def apply(params: dict, cfg: ImageEncoderConfig, x: jnp.ndarray, *,
     else:
         for i, blk in enumerate(params["blocks"]):
             ws = 0 if i in cfg.global_attn_indexes else cfg.window_size
-            x = block_apply(blk, x, cfg, ws, attention_impl, fused_mlp)
+            x = block_apply(blk, x, cfg, ws, attention_impl, fused_mlp,
+                            fused_qkv if ws == 0 else False)
 
     n = params["neck"]
     x = x.astype(jnp.float32)

@@ -178,6 +178,31 @@ def test_headmajor_windowed_attention_matches_unfused(rng):
     np.testing.assert_allclose(ours, ref, atol=2e-4)
 
 
+def test_headmajor_global_attention_matches_unfused(rng):
+    """Global-layer head-major path (q-blocked kernel) == LN -> attention ->
+    proj composition on the full token grid."""
+    import jax
+
+    cfg = sam_vit_t_config().image_encoder
+    params = image_encoder.init(jax.random.PRNGKey(1), cfg)
+    blk = params["blocks"][0]
+    key = jax.random.PRNGKey(4)
+    g = cfg.img_size // cfg.patch_size
+    hd = cfg.embed_dim // cfg.num_heads
+    blk["attn"]["rel_pos_h"] = jax.random.normal(key, (2 * g - 1, hd)) * 0.1
+    blk["attn"]["rel_pos_w"] = jax.random.normal(key, (2 * g - 1, hd)) * 0.1
+
+    x = rng.standard_normal((2, g, g, cfg.embed_dim)).astype(np.float32)
+    from samcarriestheburden_tpu.models.common import layer_norm
+
+    xn = layer_norm(blk["norm1"], x, cfg.layer_norm_eps)
+    ref = np.asarray(image_encoder.attention_apply(
+        blk["attn"], xn, cfg.num_heads, cfg.use_rel_pos))
+    ours = np.asarray(image_encoder._global_attention_headmajor(
+        blk, x, cfg, interpret=True))
+    np.testing.assert_allclose(ours, ref, atol=2e-4)
+
+
 def test_fused_ln_masked_linear_matches_reference(rng):
     """(LN(x)*mask) @ w + b == the unfused composition (the windowed-block
     qkv projection with pad re-zeroing folded in)."""
