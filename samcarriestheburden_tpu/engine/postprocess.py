@@ -81,25 +81,26 @@ def postprocess_to_grid(low_res: jnp.ndarray,
         c1i = jnp.clip(c0i + 1, 0, lr - 1)
         return c0i, c1i, f
 
-    def sample_inner(yi, xi):
-        """Bilinear value of the 1024-frame grid point (yi, xi) from low_res."""
-        ya, yb, fy_in = low_res_taps(yi)   # (out_h,)
-        xa, xb, fx_in = low_res_taps(xi)   # (out_w,)
-        v00 = low_res[..., ya[:, None], xa[None, :]]
-        v01 = low_res[..., ya[:, None], xb[None, :]]
-        v10 = low_res[..., yb[:, None], xa[None, :]]
-        v11 = low_res[..., yb[:, None], xb[None, :]]
-        wy = fy_in[:, None]
-        wx = fx_in[None, :]
-        return (v00 * (1 - wy) * (1 - wx) + v01 * (1 - wy) * wx
-                + v10 * wy * (1 - wx) + v11 * wy * wx)
+    # The whole chain is separable per axis, so instead of 16 data-dependent
+    # gathers (XLA general gather — 6.3 ms/img on v5e) build one (out, lr)
+    # resampling matrix per axis from iota one-hots and evaluate R @ X @ Cᵀ
+    # on the MXU (<1 ms).  Same taps and weights, summed in one dot.
+    def axis_matrix(n_out, t0, t1, f_outer):
+        """(n_out, lr) combined outer-bilinear ∘ inner-bilinear matrix."""
+        lanes = jnp.arange(lr)[None, :]
 
-    v00 = sample_inner(y0i, x0i)
-    v01 = sample_inner(y0i, x1i)
-    v10 = sample_inner(y1i, x0i)
-    v11 = sample_inner(y1i, x1i)
-    out = (v00 * (1 - fy) * (1 - fx) + v01 * (1 - fy) * fx
-           + v10 * fy * (1 - fx) + v11 * fy * fx)
+        def inner(ti):                       # (n_out,) input-frame taps
+            a, b_, f = low_res_taps(ti)
+            return ((1 - f)[:, None] * (lanes == a[:, None])
+                    + f[:, None] * (lanes == b_[:, None]))
+
+        return ((1 - f_outer)[:, None] * inner(t0)
+                + f_outer[:, None] * inner(t1)).astype(jnp.float32)
+
+    ry = axis_matrix(out_h, y0i, y1i, fy[:, 0])      # (out_h, lr)
+    cx = axis_matrix(out_w, x0i, x1i, fx[0, :])      # (out_w, lr)
+    out = jnp.einsum("hc,...cd,wd->...hw", ry, low_res.astype(jnp.float32),
+                     cx, preferred_element_type=jnp.float32)
 
     if threshold_only:
         return out > mask_threshold

@@ -19,21 +19,46 @@ import jax
 import jax.numpy as jnp
 
 
-@partial(jax.jit, static_argnames=("num_iterations", "check_every"))
+def _seg_cummax(vals: jnp.ndarray, bg: jnp.ndarray, axis: int,
+                reverse: bool) -> jnp.ndarray:
+    """Segmented running max of ``vals`` along ``axis``; background pixels
+    (``bg``) block propagation (and keep their own value, which is 0)."""
+
+    def op(a, b):
+        va, ra = a
+        vb, rb = b
+        return jnp.where(rb, vb, jnp.maximum(va, vb)), ra | rb
+
+    out, _ = jax.lax.associative_scan(op, (vals, bg), axis=axis % vals.ndim,
+                                      reverse=reverse)
+    return out
+
+
+@partial(jax.jit, static_argnames=("num_iterations", "check_every", "method"))
 def connected_components(mask: jnp.ndarray, num_iterations: int,
-                         check_every: int = 16) -> jnp.ndarray:
+                         check_every: int = 16,
+                         method: str = "scan") -> jnp.ndarray:
     """Label 8-connected components of (..., H, W) binary masks.
 
     Returns int32 labels; 0 = background, foreground labels are arbitrary
     distinct positive ids (linear index + 1 of some member pixel), matching
     kornia.contrib.connected_components' convention the reference relies on.
+    At the fixpoint every pixel carries the max initial index of its
+    component under either method, so both agree exactly once converged.
 
-    ``num_iterations`` bounds propagation distance; the reference sets it to
-    max(H, W) (seg_refinement.py:66).  Propagation past the fixpoint is
-    idempotent, so the loop early-exits once the label image is stable —
-    checked every ``check_every`` steps to amortise the convergence reduce —
-    with the step count still capped at exactly ``num_iterations``.  Results
-    are bit-identical to running all ``num_iterations`` steps.
+    method='scan' (default): each round runs segmented running-max scans
+    along rows and columns (both directions; background blocks propagation)
+    plus one 3x3 max-pool for the diagonal links.  A round propagates labels
+    arbitrarily far along straight runs, so convergence takes O(geometric
+    turns) rounds (single digits for real masks) instead of O(component
+    diameter) pool iterations — and a vmapped batch pays the slowest image's
+    handful of rounds, not its diameter.
+
+    method='pool': the reference's literal scheme — ``num_iterations``
+    (max(H, W), seg_refinement.py:66) iterations of 3x3 max-pool
+    propagation, early-exited at the fixpoint (checked every ``check_every``
+    steps, step count capped at exactly ``num_iterations`` so results are
+    bit-identical to kornia's even when not converged).
     """
     h, w = mask.shape[-2:]
     fg = mask > 0.5
@@ -46,6 +71,29 @@ def connected_components(mask: jnp.ndarray, num_iterations: int,
             window_strides=(1,) * labels.ndim,
             padding=[(0, 0)] * (labels.ndim - 2) + [(1, 1), (1, 1)])
         return grown * fg
+
+    if method == "scan":
+        bg = ~fg
+
+        def round_(labels):
+            labels = _seg_cummax(labels, bg, -1, False)
+            labels = _seg_cummax(labels, bg, -1, True)
+            labels = _seg_cummax(labels, bg, -2, False)
+            labels = _seg_cummax(labels, bg, -2, True)
+            return propagate(0, labels)
+
+        def cond(state):
+            i, _, done = state
+            return (i < num_iterations) & ~done
+
+        def body(state):
+            i, labels, _ = state
+            new = round_(labels)
+            return i + 1, new, jnp.array_equal(new, labels)
+
+        _, labels, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), init, jnp.asarray(False)))
+        return labels
 
     def cond(state):
         i, _, done = state
@@ -62,35 +110,50 @@ def connected_components(mask: jnp.ndarray, num_iterations: int,
     return labels
 
 
-@partial(jax.jit, static_argnames=("selection", "num_iter"))
+@partial(jax.jit, static_argnames=("selection", "num_iter", "max_components"))
 def remove_all_but_one_connected_component(prob_mask: jnp.ndarray, selection: str,
-                                           num_iter: int) -> jnp.ndarray:
+                                           num_iter: int,
+                                           max_components: int = 512) -> jnp.ndarray:
     """Keep one connected component per class of a (C, H, W) probability mask.
 
     ``selection``: 'largest' (by pixel area) or 'highest_probability' (by mean
     probability).  Returns the probability mask zeroed outside the winning
     component, like the reference (segmentation_preprocessing.py:50-51
     ``refined_mask *= prob_mask``).  Empty classes stay empty.
+
+    Winner selection is scatter-free (TPU scatters serialise: the former
+    per-pixel-id ``segment_sum`` histogram cost 2x12.7 ms per image on v5e —
+    half the whole refinement pipeline).  A pixel is its component's ROOT iff
+    its propagated label equals its own initial index, so the component count
+    is exact and small; ``top_k`` collects up to ``max_components`` candidate
+    root labels and the per-candidate area/probability-mass reduce is one
+    broadcast compare + sum.  Classes with more than ``max_components``
+    connected components (physically impossible for U-Net bone masks; raise
+    the bound if ever needed) would silently ignore the lowest-indexed ones.
     """
     assert prob_mask.ndim == 3, "segmentation_mask should be 3D tensor of shape (C, H, W)"
     if selection not in ("largest", "highest_probability"):
         raise NotImplementedError(f"Invalid selection: {selection}")
     c, h, w = prob_mask.shape
     labels = connected_components(prob_mask.astype(jnp.float32), num_iter)  # (C, H, W)
+    k = min(max_components, h * w)
 
     def per_class(lbl, prob):
         flat_lbl = lbl.reshape(-1)
         flat_prob = prob.reshape(-1)
-        n_ids = h * w + 1
-        areas = jax.ops.segment_sum(jnp.ones_like(flat_prob), flat_lbl, n_ids)
+        init = jnp.arange(h * w, dtype=jnp.int32) + 1
+        roots = jnp.where(flat_lbl == init, flat_lbl, 0)     # 0 = not a root
+        cand, _ = jax.lax.top_k(roots, k)                     # (K,) labels
+        hit = (flat_lbl[None, :] == cand[:, None]) & (cand[:, None] > 0)
+        hit = hit.astype(jnp.float32)                         # (K, HW)
+        areas = jnp.sum(hit, axis=1)
         if selection == "largest":
             metric = areas
         else:
-            sums = jax.ops.segment_sum(flat_prob, flat_lbl, n_ids)
+            sums = hit @ flat_prob
             metric = sums / jnp.maximum(areas, 1.0)
-        metric = metric.at[0].set(-jnp.inf)          # background never wins
-        metric = jnp.where(areas > 0, metric, -jnp.inf)
-        winner = jnp.argmax(metric)
+        metric = jnp.where((cand > 0) & (areas > 0), metric, -jnp.inf)
+        winner = cand[jnp.argmax(metric)]
         keep = (lbl == winner) & (lbl > 0)
         return keep.astype(prob.dtype) * prob
 

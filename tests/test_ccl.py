@@ -53,3 +53,18 @@ def test_preserves_probabilities():
     prob[0, 2:6, 2:6] = np.linspace(0.55, 0.95, 16).reshape(4, 4)
     out = np.asarray(remove_all_but_one_connected_component(prob, "largest", 16))
     np.testing.assert_allclose(out[0, 2:6, 2:6], prob[0, 2:6, 2:6])
+
+
+def test_scan_and_pool_methods_agree(rng):
+    """Both propagation schemes reach the same fixpoint (same label VALUES:
+    the component max initial index) on random speckle masks."""
+    for shape in [(32, 48), (3, 40, 40)]:
+        mask = (rng.random(shape) > 0.6).astype(np.float32)
+        # num_iterations = H*W guarantees the pool method also converges —
+        # at max(H, W) (the reference's setting) snake-shaped speckle
+        # components can exceed the propagation budget, where the truncated
+        # pool result is deliberately kornia-faithful instead
+        n = shape[-1] * shape[-2]
+        scan = np.asarray(connected_components(mask, n, method="scan"))
+        pool = np.asarray(connected_components(mask, n, method="pool"))
+        np.testing.assert_array_equal(scan, pool)
