@@ -201,19 +201,23 @@ def main():
     eb = 1 if args.smoke else args.enhance_batch
     enhance_full = jax.jit(jax.vmap(enhance_one) if eb > 1 else enhance_one)
 
-    # representative U-Net output: one elongated soft blob per class
+    # representative U-Net output: one elongated soft blob per class.
+    # DISTINCT images per batch slot — the vmapped CCL runs to the slowest
+    # image's convergence, so tiling one image would understate the cost.
     yy, xx = np.mgrid[: seg_hw[0], : seg_hw[1]]
-    prob = np.zeros((N_CLASSES,) + tuple(seg_hw), np.float32)
-    for c in range(N_CLASSES):
-        cy, cx = rng.uniform(0.2, 0.8) * seg_hw[0], rng.uniform(0.2, 0.8) * seg_hw[1]
-        ry, rx = rng.uniform(0.1, 0.3) * seg_hw[0], rng.uniform(0.05, 0.2) * seg_hw[1]
-        d2 = ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2
-        prob[c] = np.clip(1.2 - d2, 0, 1)
+    prob = np.zeros((eb, N_CLASSES) + tuple(seg_hw), np.float32)
+    for i in range(eb):
+        for c in range(N_CLASSES):
+            cy, cx = rng.uniform(0.2, 0.8) * seg_hw[0], rng.uniform(0.2, 0.8) * seg_hw[1]
+            ry, rx = rng.uniform(0.1, 0.3) * seg_hw[0], rng.uniform(0.05, 0.2) * seg_hw[1]
+            d2 = ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2
+            prob[i, c] = np.clip(1.2 - d2, 0, 1)
     tile = (lambda a: jnp.tile(jnp.asarray(a)[None],
                                (eb,) + (1,) * np.ndim(a))) if eb > 1 \
         else (lambda a: jnp.asarray(a))
-    t_enhance = _time_it(enhance_full, tile(prob), tile(features),
-                         tile(np.asarray(input_size)),
+    t_enhance = _time_it(enhance_full,
+                         jnp.asarray(prob if eb > 1 else prob[0]),
+                         tile(features), tile(np.asarray(input_size)),
                          tile(np.asarray(original_size)),
                          iters=args.iters, warmup=2) / eb
 

@@ -99,6 +99,8 @@ def make_encode_batch_medsam(model: SamModel, dtype=jnp.bfloat16):
     per-image min-max to [0, 1] (no padding mask)."""
     from samcarriestheburden_tpu.models import image_encoder
 
+    fused = jax.default_backend() == "tpu"
+
     @jax.jit
     def encode(params, imgs, input_sizes):
         x = imgs.astype(jnp.float32)
@@ -106,7 +108,8 @@ def make_encode_batch_medsam(model: SamModel, dtype=jnp.bfloat16):
         hi = jnp.max(x, axis=(1, 2, 3), keepdims=True)
         x = (x - lo) / jnp.clip(hi - lo, 1e-8)
         return image_encoder.apply(params["image_encoder"],
-                                   model.cfg.image_encoder, x, dtype=dtype)
+                                   model.cfg.image_encoder, x, dtype=dtype,
+                                   fused_mlp=fused, fused_qkv=fused)
 
     return encode
 

@@ -193,14 +193,17 @@ def attention_apply(p: dict, x: jnp.ndarray, num_heads: int,
 
 
 def _mlp_residual(p: dict, x: jnp.ndarray, cfg: ImageEncoderConfig,
-                  fused: bool) -> jnp.ndarray:
+                  fused: bool, add: jnp.ndarray = None) -> jnp.ndarray:
     """x + mlp(LN2(x)) — via the fused Pallas kernel (one HBM round-trip,
-    kernels/mlp.py) when ``fused``, else the XLA composition."""
+    kernels/mlp.py) when ``fused``, else the XLA composition.  ``add`` folds
+    the block's attention residual into the same pass (x := x + add)."""
     if fused:
         from samcarriestheburden_tpu.kernels.mlp import mlp_residual_apply
 
         return mlp_residual_apply(p["norm2"], p["mlp"], x,
-                                  eps=cfg.layer_norm_eps)
+                                  eps=cfg.layer_norm_eps, add=add)
+    if add is not None:
+        x = x + add
     return x + mlp_block(p["mlp"], layer_norm(p["norm2"], x, cfg.layer_norm_eps))
 
 
@@ -210,7 +213,7 @@ def block_apply(p: dict, x: jnp.ndarray, cfg: ImageEncoderConfig,
     shortcut = x
     if fused_qkv and window_size == 0 and cfg.use_rel_pos:
         a = _global_attention_headmajor(p, x, cfg)
-        return _mlp_residual(p, shortcut + a, cfg, fused_mlp)
+        return _mlp_residual(p, shortcut, cfg, fused_mlp, add=a)
     x = layer_norm(p["norm1"], x, cfg.layer_norm_eps)
     if window_size > 0:
         h, w = x.shape[1], x.shape[2]
@@ -283,10 +286,10 @@ def _block_apply_windowed(p: dict, xw: jnp.ndarray, pad_valid: jnp.ndarray,
     pointwise, so pad-slot contents never leak."""
     shortcut = xw
     if fused_qkv:
-        x = _windowed_attention_headmajor(p, xw, pad_valid, cfg)
-    else:
-        x = layer_norm(p["norm1"], xw, cfg.layer_norm_eps) * pad_valid
-        x = attention_impl(p["attn"], x, cfg.num_heads, cfg.use_rel_pos)
+        a = _windowed_attention_headmajor(p, xw, pad_valid, cfg)
+        return _mlp_residual(p, shortcut, cfg, fused_mlp, add=a)
+    x = layer_norm(p["norm1"], xw, cfg.layer_norm_eps) * pad_valid
+    x = attention_impl(p["attn"], x, cfg.num_heads, cfg.use_rel_pos)
     x = shortcut + x
     return _mlp_residual(p, x, cfg, fused_mlp)
 

@@ -146,6 +146,14 @@ def test_fused_mlp_kernel_matches_reference(rng):
     # amplified by lin2 row sums) — tolerance reflects that, not fp noise
     np.testing.assert_allclose(ours, ref, atol=5e-4)
 
+    # fused pre-residual variant: (x+a) + mlp(LN(x+a))
+    a = jnp.asarray(rng.standard_normal((t, e)), jnp.float32)
+    s = x + a
+    ref2 = np.asarray(s + mlp_block(p_mlp, layer_norm(p_norm, s)))
+    ours2 = np.asarray(mlp_residual_apply(p_norm, p_mlp, x, interpret=True,
+                                          add=a))
+    np.testing.assert_allclose(ours2, ref2, atol=5e-4)
+
 
 def test_headmajor_windowed_attention_matches_unfused(rng):
     """v3 transpose-free path (fused LN+qkv head-grouped columns ->
