@@ -71,10 +71,17 @@ def main():
     parser.add_argument("--enhance_batch", type=int, default=8,
                         help="images per refinement dispatch (matches the "
                              "sweep CLI's --img_batch; 1 = per-image)")
-    parser.add_argument("--iters", type=int, default=5)
+    parser.add_argument("--iters", type=int, default=3,
+                        help="timing repeats; run-to-run spread is <1% and "
+                             "compiles dominate wall time, so keep small")
     args = parser.parse_args()
 
     import jax
+
+    # persistent compile cache: the ViT-H + vmapped-enhance compiles take
+    # ~6 min cold on the remote chip; warm runs start measuring immediately
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
     if args.smoke:
         jax.config.update("jax_platforms", "cpu")

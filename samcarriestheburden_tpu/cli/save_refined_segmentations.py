@@ -101,7 +101,24 @@ def main(argv=None):
         if timer is None:
             from samcarriestheburden_tpu.profiling import PhaseTimer
             timer = PhaseTimer(sync=False)  # no-op accounting
+        from samcarriestheburden_tpu.ops.mask_ops import (packbits_device,
+                                                          unpackbits_host)
+
         bs = max(1, args.img_batch)
+        pack = W % 8 == 0  # device-side bit-pack: 8x smaller host fetch
+        pending = None  # (chunk, refined_dev, est_dev): fetched one batch
+        # late so the host-device round-trip overlaps the next dispatch
+
+        def flush(p):
+            chunk_, refined_, est_ = p
+            with timer.phase("h5_write"):
+                if pack:
+                    refined_ = unpackbits_host(np.asarray(refined_), W)
+                refined_ = np.asarray(refined_).astype(np.uint8)
+                est_ = np.asarray(est_)
+                for j, name in enumerate(chunk_):
+                    writer.write(name, refined_[j], estimated_dice=est_[j])
+
         for i in tqdm(range(0, len(files), bs), unit="batch",
                       desc="Refine segmentation"):
             chunk = files[i:i + bs]
@@ -120,11 +137,13 @@ def main(argv=None):
                     refined, est_dice = refined[None], est_dice[None]
                 else:
                     refined, est_dice = seg_processor.enhance_batch(y_hat, chunk)
-            with timer.phase("h5_write"):
-                refined = np.asarray(refined).astype(np.uint8)
-                est_dice = np.asarray(est_dice)
-                for j, name in enumerate(chunk):
-                    writer.write(name, refined[j], estimated_dice=est_dice[j])
+            if pack:
+                refined = packbits_device(refined)
+            if pending is not None:
+                flush(pending)
+            pending = (chunk, refined, est_dice)
+        if pending is not None:
+            flush(pending)
     print(f"wrote {out}")
 
 

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import Any, Dict, ItemsView, List, Optional
 
+import jax.numpy as jnp
 import numpy as np
 
 from samcarriestheburden_tpu.engine.predictor import SamPredictor
@@ -220,10 +221,20 @@ class SamAutomaticMaskGenerator:
         bin_masks = masks > thr
         boxes = batched_mask_to_box(bin_masks)
 
-        # flatten (B, 3, H, W) -> (B·3, ...) and drop padding, then host filters
+        # flatten (B, 3, H, W) -> (B·3, ...) and drop padding, then host
+        # filters.  Masks cross the host link bit-packed (8x smaller — the
+        # raw bool batch is ~200 MB at 1024² with 64 points x 3 masks).
+        from samcarriestheburden_tpu.ops.mask_ops import (packbits_device,
+                                                          unpackbits_host)
+
+        h_m, w_m = bin_masks.shape[-2:]
+        wpad = (-w_m) % 8
+        packed = packbits_device(jnp.pad(
+            bin_masks, [(0, 0)] * (bin_masks.ndim - 1) + [(0, wpad)]))
+        host_masks = unpackbits_host(np.asarray(packed), w_m)
         flat = slice(0, n * bin_masks.shape[1])
         data = MaskData(
-            masks=np.asarray(bin_masks).reshape(-1, *bin_masks.shape[-2:])[flat],
+            masks=host_masks.reshape(-1, h_m, w_m)[flat],
             iou_preds=np.asarray(iou_preds).reshape(-1)[flat],
             stability_score=np.asarray(stability).reshape(-1)[flat],
             boxes=np.asarray(boxes).reshape(-1, 4)[flat],

@@ -93,14 +93,22 @@ def bench_refine_sweep(model_name: str, n_imgs: int, seg_hw, smoke: bool):
         np.asarray(refined)  # host sync, like the CLI writing to h5
     dt = time.perf_counter() - t0
 
-    # image-batched sweep (cli --img_batch): one dispatch per chunk
+    # image-batched sweep (cli --img_batch): one dispatch per chunk, fetch
+    # pipelined one batch behind (the CLI does the same — over a remote
+    # tunnel the per-fetch round-trip otherwise dominates)
+    from samcarriestheburden_tpu.ops.mask_ops import packbits_device
+
     bs = min(8, n_imgs)
     seg_arr = np.stack(segs)
-    np.asarray(enh.enhance_batch(seg_arr[:bs], stems[:bs])[0])
+    np.asarray(packbits_device(enh.enhance_batch(seg_arr[:bs], stems[:bs])[0]))
     t0 = time.perf_counter()
+    pending = None
     for i in range(0, n_imgs, bs):
         refined, est = enh.enhance_batch(seg_arr[i:i + bs], stems[i:i + bs])
-        np.asarray(refined)
+        if pending is not None:
+            np.asarray(pending)
+        pending = packbits_device(refined)
+    np.asarray(pending)
     dt_b = time.perf_counter() - t0
     return {"images_per_sec": round(n_imgs / dt, 3),
             "images_per_sec_batched": round(n_imgs / dt_b, 3),
