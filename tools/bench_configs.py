@@ -147,7 +147,7 @@ def bench_training(smoke: bool):
     return out
 
 
-def bench_amg(model_name: str, smoke: bool):
+def bench_amg(model_name: str, smoke: bool, pps: int = 32):
     import jax
     import jax.numpy as jnp
 
@@ -159,10 +159,13 @@ def bench_amg(model_name: str, smoke: bool):
     shapes = jax.eval_shape(lambda k: sam_init(k, cfg), jax.random.PRNGKey(0))
     params = _zeros_like_tree(shapes)
     model = SamModel(cfg=cfg, params=params)
-    pps = 8 if smoke else 32
+    pps = 8 if smoke else pps
     amg = SamAutomaticMaskGenerator(model, points_per_side=pps,
                                     pred_iou_thresh=-1e9,  # zero weights ->
-                                    stability_score_thresh=0.0)  # keep all
+                                    stability_score_thresh=0.0,  # keep all
+                                    output_mode="uncompressed_rle")
+    # binary_mask output would re-decode EVERY kept RLE to a full-res numpy
+    # mask (hundreds of MB) — time the serving-format path instead
     rng = np.random.default_rng(0)
     img = rng.integers(0, 255, (512 if smoke else 1024,
                                 int((512 if smoke else 1024) * 0.7), 3),
@@ -183,6 +186,8 @@ def main():
     p.add_argument("--n_imgs", type=int, default=32,
                    help="refinement sweep size")
     p.add_argument("--only", choices=["refine", "train", "amg"], default=None)
+    p.add_argument("--pps", type=int, default=32,
+                   help="AMG points per side (reference default 32)")
     args = p.parse_args()
 
     import jax
@@ -200,7 +205,7 @@ def main():
     if args.only in (None, "train"):
         out["config4_unet_training"] = bench_training(args.smoke)
     if args.only in (None, "amg"):
-        out["config5_amg"] = bench_amg(model_name, args.smoke)
+        out["config5_amg"] = bench_amg(model_name, args.smoke, args.pps)
     print(json.dumps(out))
 
 
