@@ -251,7 +251,14 @@ class SamAutomaticMaskGenerator:
         if not keep.all():
             data.filter(keep)
 
-        data["masks"] = np.asarray(uncrop_masks(data["masks"], crop_box, orig_h, orig_w))
+        # uncrop = place the crop into the full frame: pure zero-padding, done
+        # host-side (np.pad) — routing it through uncrop_masks' device op
+        # round-trips the raw mask batch over the host link twice
+        x0, y0, x1, y1 = crop_box
+        if (x0, y0, x1, y1) != (0, 0, orig_w, orig_h):
+            data["masks"] = np.pad(
+                data["masks"],
+                ((0, 0), (y0, orig_h - y1), (x0, orig_w - x1)))
         data["rles"] = mask_to_rle(data["masks"])
         del data["masks"]
         return data
