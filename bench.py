@@ -68,6 +68,9 @@ def main():
                         choices=["vit_b", "vit_l", "vit_h"])
     parser.add_argument("--batch", type=int, default=4)
     parser.add_argument("--attention", choices=["xla", "pallas", "auto"], default="auto")
+    parser.add_argument("--quantize", choices=["int8"], default=None,
+                        help="opt-in dynamic-int8 encoder matmuls "
+                             "(kernels/quant.py); bf16 is the parity default")
     parser.add_argument("--enhance_batch", type=int, default=8,
                         help="images per refinement dispatch (matches the "
                              "sweep CLI's --img_batch; 1 = per-image)")
@@ -123,7 +126,8 @@ def main():
         from samcarriestheburden_tpu.models.image_encoder import attention_apply
 
         attention_impl = attention_apply
-    encode = make_encode_batch(model, dtype=dtype, attention_impl=attention_impl)
+    encode = make_encode_batch(model, dtype=dtype, attention_impl=attention_impl,
+                               quantize=None if args.smoke else args.quantize)
     imgs = jnp.asarray(rng.integers(0, 255, (batch, 3, size, size)), jnp.uint8)
     sizes = jnp.tile(jnp.asarray([[size, int(size * 0.7)]], jnp.int32), (batch, 1))
     t_encode = _time_it(lambda a, b, p: encode(p, a, b), imgs, sizes,
@@ -246,6 +250,7 @@ def main():
             "attention": args.attention,
             "encoder_dtype": str(dtype.__name__ if hasattr(dtype, "__name__")
                                  else dtype),
+            "quantize": args.quantize,
             "platform": jax.devices()[0].platform,
         },
     }

@@ -49,7 +49,7 @@ def default_attention_impl():
 
 
 def make_encode_batch(model: SamModel, dtype=jnp.bfloat16,
-                      attention_impl=None):
+                      attention_impl=None, quantize=None):
     """jitted (B, 3, S, S) raw zero-padded uint8 batch + (B, 2) input sizes
     -> (B, 256, G, G) embeddings.  Normalise-then-pad semantics via validity
     masking (sam.py:164-174).  ``attention_impl`` selects the encoder
@@ -88,7 +88,8 @@ def make_encode_batch(model: SamModel, dtype=jnp.bfloat16,
                                    model.cfg.image_encoder, x, dtype=dtype,
                                    attention_impl=impl,
                                    fused_window_blocks=fused_blocks,
-                                   fused_mlp=fused_mlp, fused_qkv=fused_qkv)
+                                   fused_mlp=fused_mlp, fused_qkv=fused_qkv,
+                                   quantize=quantize)
 
     return encode
 

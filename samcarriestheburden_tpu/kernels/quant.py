@@ -1,0 +1,162 @@
+"""Int8 dynamic-quantized variants of the encoder's fused matmul kernels.
+
+v5e's MXU runs int8 x int8 -> int32 at 2x the bf16 rate, and the encoder's
+compute floor is its matmuls (the fused bf16 MLP kernel already measures
+~90% MFU), so int8 is the remaining step-change lever for single-chip
+throughput.  This is an OPT-IN serving mode — the reference itself ships a
+dynamically-uint8-quantized deployment artifact for its decoder
+(scripts/export_onnx_model.py:187-201), so a quantized inference mode is
+within the reference's own deployment practice — but bf16 remains the
+default until Dice parity is validated on real data.
+
+Scheme (standard dynamic PTQ):
+* weights: symmetric per-output-channel int8 (absmax / 127), quantized once
+  per call from the fp32/bf16 params;
+* activations: symmetric per-row (per-token) int8, computed in-kernel after
+  the LayerNorm;
+* accumulation int32 on the MXU; dequantise with the rank-1 outer product of
+  row and channel scales; LN statistics, GELU and residuals stay fp32.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from samcarriestheburden_tpu.kernels.mlp import _erf
+
+
+def quantize_weight(w: jnp.ndarray):
+    """(I, O) -> int8 weights + (1, O) fp32 per-output-channel scales."""
+    scale = jnp.maximum(jnp.max(jnp.abs(w.astype(jnp.float32)), axis=0,
+                                keepdims=True), 1e-12) / 127.0
+    wq = jnp.clip(jnp.round(w.astype(jnp.float32) / scale), -127, 127)
+    return wq.astype(jnp.int8), scale
+
+
+def _row_quant(x: jnp.ndarray):
+    """fp32 (T, I) -> int8 rows + (T, 1) fp32 scales (symmetric absmax)."""
+    s = jnp.maximum(jnp.max(jnp.abs(x), axis=-1, keepdims=True), 1e-12) / 127.0
+    q = jnp.clip(jnp.round(x / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def _int8_dot(xq, wq_ref):
+    return jax.lax.dot_general(xq, wq_ref[:], (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32)
+
+
+def _ln_mlp_kernel_q(x_ref, g_ref, b_ref, w1_ref, s1_ref, b1_ref,
+                     w2_ref, s2_ref, b2_ref, o_ref, *, eps: float):
+    x = x_ref[:]
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    xn = (xf - mean) * jax.lax.rsqrt(var + eps)
+    xn = xn * g_ref[0].astype(jnp.float32) + b_ref[0].astype(jnp.float32)
+
+    xq, sx = _row_quant(xn)
+    h = _int8_dot(xq, w1_ref).astype(jnp.float32)
+    h = h * (sx * s1_ref[0]) + b1_ref[0].astype(jnp.float32)
+    h = 0.5 * h * (1.0 + _erf(h * 0.7071067811865476))
+
+    hq, sh = _row_quant(h)
+    y = _int8_dot(hq, w2_ref).astype(jnp.float32)
+    y = y * (sh * s2_ref[0]) + b2_ref[0].astype(jnp.float32)
+    o_ref[:] = (xf + y).astype(o_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("t_block", "eps", "interpret"))
+def fused_ln_mlp_residual_int8(x, ln_scale, ln_bias, w1q, s1, b1, w2q, s2, b2,
+                               *, t_block: Optional[int] = None,
+                               eps: float = 1e-6,
+                               interpret: bool = False) -> jnp.ndarray:
+    """Int8 analogue of kernels.mlp.fused_ln_mlp_residual.
+    w1q (E, M) int8 + s1 (1, M); w2q (M, E) int8 + s2 (1, E)."""
+    t, e = x.shape
+    m = w1q.shape[1]
+    if t_block is None:
+        t_block = min(256, t)
+    grid = (pl.cdiv(t, t_block),)
+    return pl.pallas_call(
+        partial(_ln_mlp_kernel_q, eps=eps),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((t_block, e), lambda i: (i, 0)),
+            pl.BlockSpec((1, e), lambda i: (0, 0)),
+            pl.BlockSpec((1, e), lambda i: (0, 0)),
+            pl.BlockSpec((e, m), lambda i: (0, 0)),
+            pl.BlockSpec((1, m), lambda i: (0, 0)),
+            pl.BlockSpec((1, m), lambda i: (0, 0)),
+            pl.BlockSpec((m, e), lambda i: (0, 0)),
+            pl.BlockSpec((1, e), lambda i: (0, 0)),
+            pl.BlockSpec((1, e), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((t_block, e), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * t * e * m * 2, transcendentals=t * m,
+            bytes_accessed=2 * t * e * x.dtype.itemsize + e * m * 2),
+        interpret=interpret,
+    )(x, ln_scale.reshape(1, -1), ln_bias.reshape(1, -1),
+      w1q, s1.reshape(1, -1), b1.reshape(1, -1),
+      w2q, s2.reshape(1, -1), b2.reshape(1, -1))
+
+
+def _ln_linear_kernel_q(x_ref, m_ref, g_ref, b_ref, w_ref, s_ref, bw_ref,
+                        o_ref, *, eps: float):
+    x = x_ref[:]
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    xn = (xf - mean) * jax.lax.rsqrt(var + eps)
+    xn = xn * g_ref[0].astype(jnp.float32) + b_ref[0].astype(jnp.float32)
+    xn = xn * m_ref[:].astype(jnp.float32)
+    xq, sx = _row_quant(xn)
+    y = _int8_dot(xq, w_ref).astype(jnp.float32)
+    y = y * (sx * s_ref[0]) + bw_ref[0].astype(jnp.float32)
+    o_ref[:] = y.astype(o_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("t_block", "eps", "interpret"))
+def fused_ln_masked_linear_int8(x, mask, ln_scale, ln_bias, wq, s, b, *,
+                                t_block: Optional[int] = None,
+                                eps: float = 1e-6,
+                                interpret: bool = False) -> jnp.ndarray:
+    """Int8 analogue of kernels.mlp.fused_ln_masked_linear (qkv projection)."""
+    t, e = x.shape
+    o = wq.shape[1]
+    if t_block is None:
+        t_block = min(256, t)
+    grid = (pl.cdiv(t, t_block),)
+    return pl.pallas_call(
+        partial(_ln_linear_kernel_q, eps=eps),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((t_block, e), lambda i: (i, 0)),
+            pl.BlockSpec((t_block, 1), lambda i: (i, 0)),
+            pl.BlockSpec((1, e), lambda i: (0, 0)),
+            pl.BlockSpec((1, e), lambda i: (0, 0)),
+            pl.BlockSpec((e, o), lambda i: (0, 0)),
+            pl.BlockSpec((1, o), lambda i: (0, 0)),
+            pl.BlockSpec((1, o), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((t_block, o), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((t, o), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * t * e * o, transcendentals=0,
+            bytes_accessed=t * (e + o) * x.dtype.itemsize + e * o),
+        interpret=interpret,
+    )(x, mask, ln_scale.reshape(1, -1), ln_bias.reshape(1, -1),
+      wq, s.reshape(1, -1), b.reshape(1, -1))

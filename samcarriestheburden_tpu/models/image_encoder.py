@@ -193,10 +193,28 @@ def attention_apply(p: dict, x: jnp.ndarray, num_heads: int,
 
 
 def _mlp_residual(p: dict, x: jnp.ndarray, cfg: ImageEncoderConfig,
-                  fused: bool, add: jnp.ndarray = None) -> jnp.ndarray:
+                  fused: bool, add: jnp.ndarray = None,
+                  quantize: str = None) -> jnp.ndarray:
     """x + mlp(LN2(x)) — via the fused Pallas kernel (one HBM round-trip,
     kernels/mlp.py) when ``fused``, else the XLA composition.  ``add`` folds
-    the block's attention residual into the same pass (x := x + add)."""
+    the block's attention residual into the same pass (x := x + add).
+    ``quantize='int8'`` routes through the dynamic-int8 kernel
+    (kernels/quant.py; opt-in serving mode)."""
+    if fused and quantize == "int8":
+        from samcarriestheburden_tpu.kernels.quant import (
+            fused_ln_mlp_residual_int8, quantize_weight)
+
+        if add is not None:
+            x = x + add
+        lead = x.shape[:-1]
+        e = x.shape[-1]
+        w1q, s1 = quantize_weight(p["mlp"]["lin1"]["w"])
+        w2q, s2 = quantize_weight(p["mlp"]["lin2"]["w"])
+        y = fused_ln_mlp_residual_int8(
+            x.reshape(-1, e), p["norm2"]["scale"], p["norm2"]["bias"],
+            w1q, s1, p["mlp"]["lin1"]["b"], w2q, s2, p["mlp"]["lin2"]["b"],
+            eps=cfg.layer_norm_eps)
+        return y.reshape(*lead, e)
     if fused:
         from samcarriestheburden_tpu.kernels.mlp import mlp_residual_apply
 
@@ -209,11 +227,13 @@ def _mlp_residual(p: dict, x: jnp.ndarray, cfg: ImageEncoderConfig,
 
 def block_apply(p: dict, x: jnp.ndarray, cfg: ImageEncoderConfig,
                 window_size: int, attention_impl=attention_apply,
-                fused_mlp: bool = False, fused_qkv: bool = False) -> jnp.ndarray:
+                fused_mlp: bool = False, fused_qkv: bool = False,
+                quantize: str = None) -> jnp.ndarray:
     shortcut = x
     if fused_qkv and window_size == 0 and cfg.use_rel_pos:
-        a = _global_attention_headmajor(p, x, cfg)
-        return _mlp_residual(p, shortcut, cfg, fused_mlp, add=a)
+        a = _global_attention_headmajor(p, x, cfg, quantize=quantize)
+        return _mlp_residual(p, shortcut, cfg, fused_mlp, add=a,
+                             quantize=quantize)
     x = layer_norm(p["norm1"], x, cfg.layer_norm_eps)
     if window_size > 0:
         h, w = x.shape[1], x.shape[2]
@@ -222,17 +242,17 @@ def block_apply(p: dict, x: jnp.ndarray, cfg: ImageEncoderConfig,
     if window_size > 0:
         x = window_unpartition(x, window_size, pad_hw, (h, w))
     x = shortcut + x
-    return _mlp_residual(p, x, cfg, fused_mlp)
+    return _mlp_residual(p, x, cfg, fused_mlp, quantize=quantize)
 
 
 def _global_attention_headmajor(p: dict, x: jnp.ndarray,
                                 cfg: ImageEncoderConfig,
-                                interpret: bool = False) -> jnp.ndarray:
+                                interpret: bool = False,
+                                quantize: str = None) -> jnp.ndarray:
     """Transpose-free global-layer attention (see
     :func:`_windowed_attention_headmajor`; q-blocked kernel variant)."""
     from samcarriestheburden_tpu.kernels.attention import (
         fused_rel_attention_headmajor_global, prepare_qkv_headmajor)
-    from samcarriestheburden_tpu.kernels.mlp import fused_ln_masked_linear
 
     b, gh, gw, e = x.shape
     n = gh * gw
@@ -241,9 +261,8 @@ def _global_attention_headmajor(p: dict, x: jnp.ndarray,
     t = b * n
     wq, bq = prepare_qkv_headmajor(p["attn"], heads, x.dtype)
     ones = jnp.ones((t, 1), x.dtype)
-    qkv = fused_ln_masked_linear(
-        x.reshape(t, e), ones, p["norm1"]["scale"], p["norm1"]["bias"],
-        wq, bq, eps=cfg.layer_norm_eps, interpret=interpret)
+    qkv = _ln_qkv(x.reshape(t, e), ones, p["norm1"], wq, bq,
+                  cfg.layer_norm_eps, quantize, interpret)
 
     pad = wq.shape[1] // heads
     qh = qkv.reshape(b, gh, gw, heads, pad)[..., :hd]
@@ -275,7 +294,8 @@ def _global_attention_headmajor(p: dict, x: jnp.ndarray,
 def _block_apply_windowed(p: dict, xw: jnp.ndarray, pad_valid: jnp.ndarray,
                           cfg: ImageEncoderConfig,
                           attention_impl, fused_mlp: bool = False,
-                          fused_qkv: bool = False) -> jnp.ndarray:
+                          fused_qkv: bool = False,
+                          quantize: str = None) -> jnp.ndarray:
     """Windowed block evaluated *in window layout* (B·nW, ws, ws, C).
 
     Numerically identical to partition→block_apply→unpartition: the reference
@@ -286,18 +306,38 @@ def _block_apply_windowed(p: dict, xw: jnp.ndarray, pad_valid: jnp.ndarray,
     pointwise, so pad-slot contents never leak."""
     shortcut = xw
     if fused_qkv:
-        a = _windowed_attention_headmajor(p, xw, pad_valid, cfg)
-        return _mlp_residual(p, shortcut, cfg, fused_mlp, add=a)
+        a = _windowed_attention_headmajor(p, xw, pad_valid, cfg,
+                                          quantize=quantize)
+        return _mlp_residual(p, shortcut, cfg, fused_mlp, add=a,
+                             quantize=quantize)
     x = layer_norm(p["norm1"], xw, cfg.layer_norm_eps) * pad_valid
     x = attention_impl(p["attn"], x, cfg.num_heads, cfg.use_rel_pos)
     x = shortcut + x
-    return _mlp_residual(p, x, cfg, fused_mlp)
+    return _mlp_residual(p, x, cfg, fused_mlp, quantize=quantize)
+
+
+def _ln_qkv(x2d, mask, p_norm, wq, bq, eps, quantize, interpret):
+    """LN + pad re-zeroing + head-grouped qkv projection, bf16 or dynamic-int8
+    fused kernel (kernels/mlp.py / kernels/quant.py)."""
+    if quantize == "int8":
+        from samcarriestheburden_tpu.kernels.quant import (
+            fused_ln_masked_linear_int8, quantize_weight)
+
+        wqq, s = quantize_weight(wq)
+        return fused_ln_masked_linear_int8(
+            x2d, mask, p_norm["scale"], p_norm["bias"], wqq, s, bq,
+            eps=eps, interpret=interpret)
+    from samcarriestheburden_tpu.kernels.mlp import fused_ln_masked_linear
+
+    return fused_ln_masked_linear(x2d, mask, p_norm["scale"], p_norm["bias"],
+                                  wq, bq, eps=eps, interpret=interpret)
 
 
 def _windowed_attention_headmajor(p: dict, xw: jnp.ndarray,
                                   pad_valid: jnp.ndarray,
                                   cfg: ImageEncoderConfig,
-                                  interpret: bool = False) -> jnp.ndarray:
+                                  interpret: bool = False,
+                                  quantize: str = None) -> jnp.ndarray:
     """Transpose-free windowed attention: LN1 + pad re-zeroing + qkv fuse into
     one Pallas pass emitting per-head column groups; the head-major kernel
     slices heads via its BlockSpec; the output projection contracts
@@ -306,7 +346,6 @@ def _windowed_attention_headmajor(p: dict, xw: jnp.ndarray,
     ``layer_norm -> attention_apply -> proj`` (interpret-tested)."""
     from samcarriestheburden_tpu.kernels.attention import (
         fused_rel_attention_headmajor, prepare_qkv_headmajor)
-    from samcarriestheburden_tpu.kernels.mlp import fused_ln_masked_linear
 
     wb, ws, _, e = xw.shape
     n = ws * ws
@@ -314,10 +353,8 @@ def _windowed_attention_headmajor(p: dict, xw: jnp.ndarray,
     hd = e // heads
     t = wb * n
     wq, bq = prepare_qkv_headmajor(p["attn"], heads, xw.dtype)
-    qkv = fused_ln_masked_linear(
-        xw.reshape(t, e), pad_valid.reshape(t, 1),
-        p["norm1"]["scale"], p["norm1"]["bias"], wq, bq,
-        eps=cfg.layer_norm_eps, interpret=interpret)       # (T, heads*P)
+    qkv = _ln_qkv(xw.reshape(t, e), pad_valid.reshape(t, 1), p["norm1"],
+                  wq, bq, cfg.layer_norm_eps, quantize, interpret)
 
     pad = wq.shape[1] // heads
     qh = qkv.reshape(wb, ws, ws, heads, pad)[..., :hd]     # (wb,ws,ws,h,hd)
@@ -388,7 +425,8 @@ def apply(params: dict, cfg: ImageEncoderConfig, x: jnp.ndarray, *,
           persistent_windows: bool = True,
           fused_window_blocks: bool = False,
           fused_mlp: bool = False,
-          fused_qkv: bool = False) -> jnp.ndarray:
+          fused_qkv: bool = False,
+          quantize: str = None) -> jnp.ndarray:
     """(B, 3, img, img) NCHW in (API parity) -> (B, out_chans, grid, grid) NCHW out.
 
     ``dtype`` is the compute precision for the transformer stack (bfloat16 on
@@ -416,7 +454,7 @@ def apply(params: dict, cfg: ImageEncoderConfig, x: jnp.ndarray, *,
                     x = window_unpartition(x, ws, pad_hw, (h, w))
                     in_windows = False
                 x = block_apply(blk, x, cfg, 0, attention_impl, fused_mlp,
-                                fused_qkv)
+                                fused_qkv, quantize)
             else:
                 if not in_windows:
                     x, pad_hw = window_partition(x, ws)
@@ -426,14 +464,14 @@ def apply(params: dict, cfg: ImageEncoderConfig, x: jnp.ndarray, *,
                 else:
                     x = _block_apply_windowed(blk, x, pad_valid, cfg,
                                               attention_impl, fused_mlp,
-                                              fused_qkv)
+                                              fused_qkv, quantize)
         if in_windows:
             x = window_unpartition(x, ws, pad_hw, (h, w))
     else:
         for i, blk in enumerate(params["blocks"]):
             ws = 0 if i in cfg.global_attn_indexes else cfg.window_size
             x = block_apply(blk, x, cfg, ws, attention_impl, fused_mlp,
-                            fused_qkv if ws == 0 else False)
+                            fused_qkv if ws == 0 else False, quantize)
 
     n = params["neck"]
     x = x.astype(jnp.float32)
