@@ -426,7 +426,8 @@ def apply(params: dict, cfg: ImageEncoderConfig, x: jnp.ndarray, *,
           fused_window_blocks: bool = False,
           fused_mlp: bool = False,
           fused_qkv: bool = False,
-          quantize: str = None) -> jnp.ndarray:
+          quantize: str = None,
+          scan_blocks: bool = True) -> jnp.ndarray:
     """(B, 3, img, img) NCHW in (API parity) -> (B, out_chans, grid, grid) NCHW out.
 
     ``dtype`` is the compute precision for the transformer stack (bfloat16 on
@@ -446,27 +447,52 @@ def apply(params: dict, cfg: ImageEncoderConfig, x: jnp.ndarray, *,
         b, h, w, _ = x.shape
         ws = cfg.window_size
         pad_valid = _pad_valid_mask(b, h, w, ws, x.dtype)
-        in_windows = False
         pad_hw = None
-        for i, blk in enumerate(params["blocks"]):
-            if i in cfg.global_attn_indexes:
-                if in_windows:
-                    x = window_unpartition(x, ws, pad_hw, (h, w))
-                    in_windows = False
-                x = block_apply(blk, x, cfg, 0, attention_impl, fused_mlp,
-                                fused_qkv, quantize)
+
+        def one_windowed(blk, xw):
+            if fused_window_blocks:
+                return _block_apply_windowed_fused(blk, xw, pad_valid, cfg)
+            return _block_apply_windowed(blk, xw, pad_valid, cfg,
+                                         attention_impl, fused_mlp,
+                                         fused_qkv, quantize)
+
+        def run_windowed(idxs, xw):
+            """A run of consecutive windowed blocks as ONE lax.scan over
+            stacked params — the block body compiles once instead of once
+            per layer (the 28 inlined ViT-H bodies made the remote encoder
+            compile take minutes)."""
+            if len(idxs) == 1 or not scan_blocks:
+                for i in idxs:
+                    xw = one_windowed(params["blocks"][i], xw)
+                return xw
+            stacked = jax.tree.map(lambda *ls: jnp.stack(ls),
+                                   *[params["blocks"][i] for i in idxs])
+
+            def body(carry, blk):
+                return one_windowed(blk, carry), None
+
+            out, _ = jax.lax.scan(body, xw, stacked)
+            return out
+
+        run: list = []
+        i = 0
+        n_blocks = len(params["blocks"])
+        while i <= n_blocks:
+            is_global = i < n_blocks and i in cfg.global_attn_indexes
+            if (i == n_blocks or is_global) and run:
+                x, pad_hw = window_partition(x, ws)
+                x = run_windowed(run, x)
+                x = window_unpartition(x, ws, pad_hw, (h, w))
+                run = []
+            if i == n_blocks:
+                break
+            if is_global:
+                x = block_apply(params["blocks"][i], x, cfg, 0,
+                                attention_impl, fused_mlp, fused_qkv,
+                                quantize)
             else:
-                if not in_windows:
-                    x, pad_hw = window_partition(x, ws)
-                    in_windows = True
-                if fused_window_blocks:
-                    x = _block_apply_windowed_fused(blk, x, pad_valid, cfg)
-                else:
-                    x = _block_apply_windowed(blk, x, pad_valid, cfg,
-                                              attention_impl, fused_mlp,
-                                              fused_qkv, quantize)
-        if in_windows:
-            x = window_unpartition(x, ws, pad_hw, (h, w))
+                run.append(i)
+            i += 1
     else:
         for i, blk in enumerate(params["blocks"]):
             ws = 0 if i in cfg.global_attn_indexes else cfg.window_size
