@@ -143,17 +143,28 @@ class SamAutomaticMaskGenerator:
         else:
             mask_data["segmentations"] = mask_data["rles"]
 
+        # xyxy -> xywh converted for ALL records in one host numpy op — a
+        # per-record jnp call would be one device round-trip per mask
+        # (hundreds of RTTs on a remote chip)
+        def xywh_np(a):
+            a = np.asarray(a, np.float32).reshape(-1, 4).copy()
+            a[:, 2] -= a[:, 0]
+            a[:, 3] -= a[:, 1]
+            return a
+
+        bboxes = xywh_np(mask_data["boxes"]) if len(mask_data["rles"]) else []
+        crop_xywh = xywh_np(np.asarray(mask_data["crop_boxes"])) \
+            if len(mask_data["rles"]) else []
         curr_anns = []
         for idx in range(len(mask_data["segmentations"])):
             curr_anns.append({
                 "segmentation": mask_data["segmentations"][idx],
                 "area": area_from_rle(mask_data["rles"][idx]),
-                "bbox": np.asarray(box_xyxy_to_xywh(mask_data["boxes"][idx])).tolist(),
+                "bbox": bboxes[idx].tolist(),
                 "predicted_iou": float(mask_data["iou_preds"][idx]),
                 "point_coords": [mask_data["points"][idx].tolist()],
                 "stability_score": float(mask_data["stability_score"][idx]),
-                "crop_box": np.asarray(box_xyxy_to_xywh(
-                    np.asarray(mask_data["crop_boxes"][idx]))).tolist(),
+                "crop_box": crop_xywh[idx].tolist(),
             })
         return curr_anns
 
