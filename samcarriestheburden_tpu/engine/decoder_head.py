@@ -35,10 +35,14 @@ KNOWN_PROMPTS = ("pos_points", "neg_points", "box")
 
 class SamMaskDecoderHead:
     def __init__(self, sam_checkpoint, model_type: str,
-                 img_embedding_h5, device=None, *, params=None, cfg=None):
+                 img_embedding_h5, device=None, *, params=None, cfg=None,
+                 compute_dtype=None):
         """sam_checkpoint: full SAM weights (.pth or .npz); the image encoder
         weights are dropped after conversion (reference :31-35).  ``device``
         is accepted for signature parity and ignored (JAX manages placement).
+        ``compute_dtype``: decoder matmul/elementwise precision — defaults to
+        bfloat16 on TPU (halves the ~1 GB of fp32 upscaling intermediates per
+        batched dispatch) and float32 elsewhere (torch parity).
         """
         from samcarriestheburden_tpu.config import (
             sam_vit_b_config, sam_vit_h_config, sam_vit_l_config,
@@ -71,6 +75,10 @@ class SamMaskDecoderHead:
             "mask_decoder": params["mask_decoder"],
         })
         self.mask_threshold = self.cfg.mask_threshold
+        if compute_dtype is None:
+            compute_dtype = (jnp.bfloat16 if jax.default_backend() == "tpu"
+                             else jnp.float32)
+        self.compute_dtype = compute_dtype
         self._decode = jax.jit(self._decode_impl)
         self._features_cache: Tuple[Optional[str], Optional[jnp.ndarray]] = (None, None)
 
@@ -89,7 +97,8 @@ class SamMaskDecoderHead:
         image_pe = prompt_encoder.get_dense_pe(pe_p, pe_c)
         return mask_decoder.apply(self.params["mask_decoder"], self.cfg.mask_decoder,
                                   features, image_pe, sparse, dense,
-                                  multimask_output=False)
+                                  multimask_output=False,
+                                  dtype=self.compute_dtype)
 
     def decode_batched(self, features, coords, labels, mask_input=None,
                        use_mask=None):

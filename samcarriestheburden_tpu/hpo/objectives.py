@@ -118,11 +118,11 @@ def build_sam_refine_study(model_id: str, data_root: str = "data",
                                       ["square", "disk", "diamond", "star"]),
             trial.suggest_int("radius", 0, 8), None)
 
-        refined, baseline = [], []
-        for y_hat, name in zip(probs, names):
-            masks, _ = seg_processor.enhance(y_hat, name)
-            refined.append(np.asarray(masks).astype(bool))
-            baseline.append(y_hat > 0.5)
+        # whole validation set in one image-batched dispatch (SegEnhance
+        # .enhance_batch) — the reference loops images per trial
+        masks, _ = seg_processor.enhance_batch(np.stack(probs), list(names))
+        refined = [np.asarray(m).astype(bool) for m in np.asarray(masks)]
+        baseline = [y_hat > 0.5 for y_hat in probs]
         return _dice_diff_score(refined, baseline, gt)
 
     space = {"prompts2use1st": prompt_choices,

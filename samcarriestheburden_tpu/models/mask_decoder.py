@@ -47,14 +47,26 @@ def init(key, cfg: MaskDecoderConfig) -> dict:
 def predict_masks(params: dict, cfg: MaskDecoderConfig,
                   image_embeddings: jnp.ndarray, image_pe: jnp.ndarray,
                   sparse_prompt_embeddings: jnp.ndarray,
-                  dense_prompt_embeddings: jnp.ndarray
-                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                  dense_prompt_embeddings: jnp.ndarray,
+                  dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Reference ``predict_masks`` (mask_decoder.py:112-149).
 
     image_embeddings: (1 or B, C, H, W); image_pe: (1, C, H, W);
     sparse: (B, N, C); dense: (B, C, H, W).
     Returns (masks (B, num_mask_tokens, 4H, 4W), iou_pred (B, num_mask_tokens)).
+
+    ``dtype``: compute precision.  fp32 is the torch-parity default;
+    bfloat16 halves the HBM traffic of the upscaling/hypernetwork leg (its
+    fp32 intermediates are ~1 GB per batched-refinement dispatch) and is the
+    TPU serving setting — outputs return in fp32 either way.
     """
+    if dtype != jnp.float32:
+        cast = lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a
+        params = jax.tree.map(cast, params)
+        image_embeddings = cast(image_embeddings)
+        image_pe = cast(image_pe)
+        sparse_prompt_embeddings = cast(sparse_prompt_embeddings)
+        dense_prompt_embeddings = cast(dense_prompt_embeddings)
     b = sparse_prompt_embeddings.shape[0]
     nt = cfg.num_mask_tokens
 
@@ -93,16 +105,17 @@ def predict_masks(params: dict, cfg: MaskDecoderConfig,
         preferred_element_type=jnp.float32)          # (B, nt, 4H*4W)
     masks = masks.reshape(b, nt, upscaled.shape[1], upscaled.shape[2])
     iou_pred = mlp(params["iou_prediction_head"], iou_token_out)
-    return masks, iou_pred
+    return masks.astype(jnp.float32), iou_pred.astype(jnp.float32)
 
 
 def apply(params: dict, cfg: MaskDecoderConfig,
           image_embeddings: jnp.ndarray, image_pe: jnp.ndarray,
           sparse_prompt_embeddings: jnp.ndarray,
           dense_prompt_embeddings: jnp.ndarray,
-          multimask_output: bool) -> Tuple[jnp.ndarray, jnp.ndarray]:
+          multimask_output: bool, dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Reference ``MaskDecoder.forward`` (mask_decoder.py:71-110)."""
     masks, iou_pred = predict_masks(params, cfg, image_embeddings, image_pe,
-                                    sparse_prompt_embeddings, dense_prompt_embeddings)
+                                    sparse_prompt_embeddings,
+                                    dense_prompt_embeddings, dtype)
     sl = slice(1, None) if multimask_output else slice(0, 1)
     return masks[:, sl], iou_pred[:, sl]
