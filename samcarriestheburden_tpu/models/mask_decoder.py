@@ -18,7 +18,8 @@ import jax.numpy as jnp
 from samcarriestheburden_tpu.config import MaskDecoderConfig
 from samcarriestheburden_tpu.models import transformer
 from samcarriestheburden_tpu.models.common import (
-    conv2d_transpose, conv_transpose_init, gelu, layer_norm_2d, layer_norm_init,
+    conv2d_transpose, conv_transpose_init, fast_gelu, gelu, layer_norm_2d,
+    layer_norm_init,
     mlp, mlp_init)
 
 
@@ -86,6 +87,9 @@ def predict_masks(params: dict, cfg: MaskDecoderConfig,
     x = src_out.reshape(b, h, w, c)
     up = params["output_upscaling"]
     x = conv2d_transpose(up["up1"], x, (2, 2))
+    # (fast_gelu's fp32 polynomial was tried here for the bf16 path; its
+    # upcast doubles traffic on the ~0.5 GB upscale tensor and measured
+    # slower than the erfc lowering — keep plain gelu in both modes)
     x = gelu(layer_norm_2d(up["ln"], x))
     x = gelu(conv2d_transpose(up["up2"], x, (2, 2)))
     upscaled = x  # (B, 4H, 4W, C//8)

@@ -305,3 +305,14 @@ def test_affine_warp_kernel_matches_grid_sample(rng):
         ref = np.asarray(grid_sample(x, grid, mode))
         ours = np.asarray(affine_warp(x, theta, mode=mode, interpret=True))
         np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_fast_gelu_matches_exact(rng):
+    """A&S-polynomial GELU (serving paths) == exact-erf GELU to fp32 noise."""
+    import jax.numpy as jnp
+
+    from samcarriestheburden_tpu.models.common import fast_gelu, gelu
+
+    x = jnp.asarray(rng.standard_normal(4096) * 3, jnp.float32)
+    np.testing.assert_allclose(np.asarray(fast_gelu(x)), np.asarray(gelu(x)),
+                               atol=3e-6)
