@@ -126,12 +126,20 @@ def main():
         from samcarriestheburden_tpu.models.image_encoder import attention_apply
 
         attention_impl = attention_apply
+    quantize = None if args.smoke else args.quantize
     encode = make_encode_batch(model, dtype=dtype, attention_impl=attention_impl,
-                               quantize=None if args.smoke else args.quantize)
+                               quantize=quantize)
+    encode_params = model.params
+    if quantize == "int8":
+        # one-time weight prequantization OUTSIDE the serving loop (in-jit
+        # quantization re-scans 0.6B params per forward — VERDICT round 2)
+        from samcarriestheburden_tpu.models.quantize import prequantize_sam
+
+        encode_params = prequantize_sam(model.params, model.cfg)
     imgs = jnp.asarray(rng.integers(0, 255, (batch, 3, size, size)), jnp.uint8)
     sizes = jnp.tile(jnp.asarray([[size, int(size * 0.7)]], jnp.int32), (batch, 1))
     t_encode = _time_it(lambda a, b, p: encode(p, a, b), imgs, sizes,
-                        model.params, iters=args.iters, warmup=2)
+                        encode_params, iters=args.iters, warmup=2)
     embed_per_sec = batch / t_encode
 
     # ---- refinement decode: 17 classes x 2 rounds in 2 dispatches ------

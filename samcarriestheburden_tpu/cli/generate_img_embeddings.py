@@ -31,6 +31,9 @@ def main(argv=None):
     p.add_argument("--merge_shards", action="store_true",
                    help="merge <output>.part* files from a multi-host run "
                         "into <output> and exit")
+    p.add_argument("--quantize", choices=["int8"], default=None,
+                   help="int8 serving mode: one-time weight prequantization "
+                        "+ int8 MXU encoder kernels (models/quantize.py)")
     from samcarriestheburden_tpu.cli.common import (
         add_multihost_flags, add_profile_flag, profiled, setup_backend)
     add_profile_flag(p)
@@ -67,7 +70,8 @@ def main(argv=None):
                               batch_size=args.batch_size, dtype=dtype,
                               mesh=maybe_mesh(args),
                               medsam=(args.sam_type == "medsam"),
-                              resume=args.resume, timer=timer)
+                              resume=args.resume, timer=timer,
+                              quantize=args.quantize)
     print(f"wrote {out}")
 
 

@@ -120,7 +120,7 @@ def precompute_embeddings(model: SamModel, image_files: Sequence,
                           batch_size: int = 8, dtype=jnp.bfloat16,
                           mesh=None, progress: bool = True,
                           medsam: bool = False, resume: bool = False,
-                          timer=None) -> None:
+                          timer=None, quantize: str = None) -> None:
     """Encode every image and write the embeddings h5.
 
     ``medsam=True`` switches to the MedSAM preprocessing convention
@@ -146,7 +146,13 @@ def precompute_embeddings(model: SamModel, image_files: Sequence,
         timer = PhaseTimer(sync=False)  # no-op accounting
     size = model.img_size
     encode = (make_encode_batch_medsam(model, dtype) if medsam
-              else make_encode_batch(model, dtype))
+              else make_encode_batch(model, dtype, quantize=quantize))
+    encode_params = model.params
+    if quantize == "int8" and not medsam:
+        # int8 serving mode: quantize the 0.6B encoder weights ONCE up front
+        from samcarriestheburden_tpu.models.quantize import prequantize_sam
+
+        encode_params = prequantize_sam(model.params, model.cfg)
     files: List[Path] = [Path(f) for f in image_files]
 
     def load_chunk(chunk):
@@ -195,7 +201,7 @@ def precompute_embeddings(model: SamModel, image_files: Sequence,
             with timer.phase("encode_dispatch"):
                 dev_batch, dev_sizes = (pmesh.shard_batch(mesh, (batch, sizes))
                                         if mesh is not None else (batch, sizes))
-                fut = encode(model.params, jnp.asarray(dev_batch),
+                fut = encode(encode_params, jnp.asarray(dev_batch),
                              jnp.asarray(dev_sizes))
             if pending is not None:
                 drain(pending)

@@ -1,21 +1,29 @@
-"""Int8 dynamic-quantized variants of the encoder's fused matmul kernels.
+"""Int8 variants of the encoder's fused matmul kernels (prequantized weights).
 
-v5e's MXU runs int8 x int8 -> int32 at 2x the bf16 rate, and the encoder's
-compute floor is its matmuls (the fused bf16 MLP kernel already measures
-~90% MFU), so int8 is the remaining step-change lever for single-chip
-throughput.  This is an OPT-IN serving mode — the reference itself ships a
-dynamically-uint8-quantized deployment artifact for its decoder
-(scripts/export_onnx_model.py:187-201), so a quantized inference mode is
-within the reference's own deployment practice — but bf16 remains the
-default until Dice parity is validated on real data.
+v5e's MXU runs int8 x int8 -> int32 at 2x the bf16 rate — measured on this
+chip: a (19600, 1280) @ (1280, 5120) dot is 1333 us bf16 vs 686 us int8
+(tools/exp_int8.py), i.e. ~98% of either peak.  The encoder's compute floor
+is its matmuls, so int8 is the step-change lever for single-chip throughput.
+This is an OPT-IN serving mode — the reference itself ships a dynamically-
+uint8-quantized deployment artifact for its decoder
+(scripts/export_onnx_model.py:187-201) — but bf16 remains the parity default.
 
 Scheme (standard dynamic PTQ):
-* weights: symmetric per-output-channel int8 (absmax / 127), quantized once
-  per call from the fp32/bf16 params;
+* weights: symmetric per-output-channel int8 (absmax / 127), quantized ONCE
+  outside the serving loop (models/quantize.prequantize_image_encoder —
+  round 2 quantized per call, which re-scanned ViT-H's 0.6B params every
+  forward and ate the MXU gain);
 * activations: symmetric per-row (per-token) int8, computed in-kernel after
-  the LayerNorm;
+  the LayerNorm.  The MLP hidden activation is quantized per (row, chunk)
+  where the 4E hidden dim is split into ``n_chunks`` column chunks: the
+  chunking both tightens the quant ranges and breaks the serial
+  LN->dot1->GELU->quant->dot2 chain into independent chunk pipelines whose
+  VPU work (GELU + requant) can overlap the MXU work of other chunks;
 * accumulation int32 on the MXU; dequantise with the rank-1 outer product of
   row and channel scales; LN statistics, GELU and residuals stay fp32.
+
+The row quant needs no clip: with s = absmax/127 the scaled magnitudes are
+<= 127*(1 + ~1e-7), which round-to-nearest maps to 127.
 """
 
 from __future__ import annotations
@@ -42,61 +50,81 @@ def quantize_weight(w: jnp.ndarray):
 def _row_quant(x: jnp.ndarray):
     """fp32 (T, I) -> int8 rows + (T, 1) fp32 scales (symmetric absmax)."""
     s = jnp.maximum(jnp.max(jnp.abs(x), axis=-1, keepdims=True), 1e-12) / 127.0
-    q = jnp.clip(jnp.round(x / s), -127, 127).astype(jnp.int8)
-    return q, s
+    return jnp.round(x / s).astype(jnp.int8), s
 
 
-def _int8_dot(xq, wq_ref):
-    return jax.lax.dot_general(xq, wq_ref[:], (((1,), (0,)), ((), ())),
+def _int8_dot(xq, wq):
+    return jax.lax.dot_general(xq, wq, (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.int32)
 
 
-def _ln_mlp_kernel_q(x_ref, g_ref, b_ref, w1_ref, s1_ref, b1_ref,
-                     w2_ref, s2_ref, b2_ref, o_ref, *, eps: float):
-    x = x_ref[:]
-    xf = x.astype(jnp.float32)
+def _ln_mlp_kernel_q(*refs, eps: float, n_chunks: int, has_add: bool):
+    if has_add:
+        (x_ref, a_ref, g_ref, b_ref, w1_ref, s1_ref, b1_ref,
+         w2_ref, s2_ref, b2_ref, o_ref) = refs
+    else:
+        (x_ref, g_ref, b_ref, w1_ref, s1_ref, b1_ref,
+         w2_ref, s2_ref, b2_ref, o_ref) = refs
+    xf = x_ref[:].astype(jnp.float32)
+    if has_add:
+        xf = xf + a_ref[:].astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
     xn = (xf - mean) * jax.lax.rsqrt(var + eps)
     xn = xn * g_ref[0].astype(jnp.float32) + b_ref[0].astype(jnp.float32)
 
     xq, sx = _row_quant(xn)
-    h = _int8_dot(xq, w1_ref).astype(jnp.float32)
-    h = h * (sx * s1_ref[0]) + b1_ref[0].astype(jnp.float32)
-    h = 0.5 * h * (1.0 + _erf(h * 0.7071067811865476))
+    m = w1_ref.shape[1]
+    e = xf.shape[-1]
+    ch = m // n_chunks
+    acc = jnp.zeros((xf.shape[0], e), jnp.float32)
+    for j in range(n_chunks):
+        lo, hi = j * ch, (j + 1) * ch
+        h = _int8_dot(xq, w1_ref[:, lo:hi]).astype(jnp.float32)
+        h = h * (sx * s1_ref[0, lo:hi]) + b1_ref[0, lo:hi].astype(jnp.float32)
+        h = 0.5 * h * (1.0 + _erf(h * 0.7071067811865476))
+        hq, sh = _row_quant(h)
+        acc = acc + _int8_dot(hq, w2_ref[lo:hi, :]).astype(jnp.float32) \
+            * (sh * s2_ref[0])
+    o_ref[:] = (xf + acc + b2_ref[0].astype(jnp.float32)).astype(o_ref.dtype)
 
-    hq, sh = _row_quant(h)
-    y = _int8_dot(hq, w2_ref).astype(jnp.float32)
-    y = y * (sh * s2_ref[0]) + b2_ref[0].astype(jnp.float32)
-    o_ref[:] = (xf + y).astype(o_ref.dtype)
 
-
-@partial(jax.jit, static_argnames=("t_block", "eps", "interpret"))
+@partial(jax.jit, static_argnames=("t_block", "n_chunks", "eps", "interpret"))
 def fused_ln_mlp_residual_int8(x, ln_scale, ln_bias, w1q, s1, b1, w2q, s2, b2,
+                               add: Optional[jnp.ndarray] = None,
                                *, t_block: Optional[int] = None,
+                               n_chunks: int = 4,
                                eps: float = 1e-6,
                                interpret: bool = False) -> jnp.ndarray:
     """Int8 analogue of kernels.mlp.fused_ln_mlp_residual.
-    w1q (E, M) int8 + s1 (1, M); w2q (M, E) int8 + s2 (1, E)."""
+    w1q (E, M) int8 + s1 (1, M); w2q (M, E) int8 + s2 (1, E); ``add`` folds
+    the block's attention residual in-kernel like the bf16 variant."""
     t, e = x.shape
     m = w1q.shape[1]
     if t_block is None:
         t_block = min(256, t)
+    assert m % n_chunks == 0, (m, n_chunks)
     grid = (pl.cdiv(t, t_block),)
+    x_spec = pl.BlockSpec((t_block, e), lambda i: (i, 0))
+    in_specs = [x_spec] + ([x_spec] if add is not None else []) + [
+        pl.BlockSpec((1, e), lambda i: (0, 0)),
+        pl.BlockSpec((1, e), lambda i: (0, 0)),
+        pl.BlockSpec((e, m), lambda i: (0, 0)),
+        pl.BlockSpec((1, m), lambda i: (0, 0)),
+        pl.BlockSpec((1, m), lambda i: (0, 0)),
+        pl.BlockSpec((m, e), lambda i: (0, 0)),
+        pl.BlockSpec((1, e), lambda i: (0, 0)),
+        pl.BlockSpec((1, e), lambda i: (0, 0)),
+    ]
+    operands = (x,) + ((add.astype(x.dtype),) if add is not None else ()) + (
+        ln_scale.reshape(1, -1), ln_bias.reshape(1, -1),
+        w1q, s1.reshape(1, -1), b1.reshape(1, -1),
+        w2q, s2.reshape(1, -1), b2.reshape(1, -1))
     return pl.pallas_call(
-        partial(_ln_mlp_kernel_q, eps=eps),
+        partial(_ln_mlp_kernel_q, eps=eps, n_chunks=n_chunks,
+                has_add=add is not None),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((t_block, e), lambda i: (i, 0)),
-            pl.BlockSpec((1, e), lambda i: (0, 0)),
-            pl.BlockSpec((1, e), lambda i: (0, 0)),
-            pl.BlockSpec((e, m), lambda i: (0, 0)),
-            pl.BlockSpec((1, m), lambda i: (0, 0)),
-            pl.BlockSpec((1, m), lambda i: (0, 0)),
-            pl.BlockSpec((m, e), lambda i: (0, 0)),
-            pl.BlockSpec((1, e), lambda i: (0, 0)),
-            pl.BlockSpec((1, e), lambda i: (0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((t_block, e), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         compiler_params=pltpu.CompilerParams(
@@ -106,9 +134,7 @@ def fused_ln_mlp_residual_int8(x, ln_scale, ln_bias, w1q, s1, b1, w2q, s2, b2,
             flops=2 * t * e * m * 2, transcendentals=t * m,
             bytes_accessed=2 * t * e * x.dtype.itemsize + e * m * 2),
         interpret=interpret,
-    )(x, ln_scale.reshape(1, -1), ln_bias.reshape(1, -1),
-      w1q, s1.reshape(1, -1), b1.reshape(1, -1),
-      w2q, s2.reshape(1, -1), b2.reshape(1, -1))
+    )(*operands)
 
 
 def _ln_linear_kernel_q(x_ref, m_ref, g_ref, b_ref, w_ref, s_ref, bw_ref,
@@ -121,7 +147,7 @@ def _ln_linear_kernel_q(x_ref, m_ref, g_ref, b_ref, w_ref, s_ref, bw_ref,
     xn = xn * g_ref[0].astype(jnp.float32) + b_ref[0].astype(jnp.float32)
     xn = xn * m_ref[:].astype(jnp.float32)
     xq, sx = _row_quant(xn)
-    y = _int8_dot(xq, w_ref).astype(jnp.float32)
+    y = _int8_dot(xq, w_ref[:]).astype(jnp.float32)
     y = y * (sx * s_ref[0]) + bw_ref[0].astype(jnp.float32)
     o_ref[:] = y.astype(o_ref.dtype)
 
@@ -131,7 +157,8 @@ def fused_ln_masked_linear_int8(x, mask, ln_scale, ln_bias, wq, s, b, *,
                                 t_block: Optional[int] = None,
                                 eps: float = 1e-6,
                                 interpret: bool = False) -> jnp.ndarray:
-    """Int8 analogue of kernels.mlp.fused_ln_masked_linear (qkv projection)."""
+    """Int8 analogue of kernels.mlp.fused_ln_masked_linear (qkv projection);
+    wq/s from models.quantize (prequantized, head-major-packed)."""
     t, e = x.shape
     o = wq.shape[1]
     if t_block is None:

@@ -198,21 +198,21 @@ def _mlp_residual(p: dict, x: jnp.ndarray, cfg: ImageEncoderConfig,
     """x + mlp(LN2(x)) — via the fused Pallas kernel (one HBM round-trip,
     kernels/mlp.py) when ``fused``, else the XLA composition.  ``add`` folds
     the block's attention residual into the same pass (x := x + add).
-    ``quantize='int8'`` routes through the dynamic-int8 kernel
-    (kernels/quant.py; opt-in serving mode)."""
+    ``quantize='int8'`` routes through the int8 kernel (kernels/quant.py;
+    opt-in serving mode) and requires PREQUANTIZED params
+    (models/quantize.prequantize_image_encoder — quantizing 0.6B weights
+    inside the jitted forward costs an HBM pass per call, VERDICT round 2)."""
     if fused and quantize == "int8":
-        from samcarriestheburden_tpu.kernels.quant import (
-            fused_ln_mlp_residual_int8, quantize_weight)
+        from samcarriestheburden_tpu.kernels.quant import \
+            fused_ln_mlp_residual_int8
 
-        if add is not None:
-            x = x + add
+        l1, l2 = p["mlp"]["lin1"], p["mlp"]["lin2"]
         lead = x.shape[:-1]
         e = x.shape[-1]
-        w1q, s1 = quantize_weight(p["mlp"]["lin1"]["w"])
-        w2q, s2 = quantize_weight(p["mlp"]["lin2"]["w"])
         y = fused_ln_mlp_residual_int8(
             x.reshape(-1, e), p["norm2"]["scale"], p["norm2"]["bias"],
-            w1q, s1, p["mlp"]["lin1"]["b"], w2q, s2, p["mlp"]["lin2"]["b"],
+            l1["wq"], l1["s"], l1["b"], l2["wq"], l2["s"], l2["b"],
+            add=add.reshape(-1, e) if add is not None else None,
             eps=cfg.layer_norm_eps)
         return y.reshape(*lead, e)
     if fused:
@@ -251,17 +251,17 @@ def _global_attention_headmajor(p: dict, x: jnp.ndarray,
                                 quantize: str = None) -> jnp.ndarray:
     """Transpose-free global-layer attention (see
     :func:`_windowed_attention_headmajor`; q-blocked kernel variant)."""
-    from samcarriestheburden_tpu.kernels.attention import (
-        fused_rel_attention_headmajor_global, prepare_qkv_headmajor)
+    from samcarriestheburden_tpu.kernels.attention import \
+        fused_rel_attention_headmajor_global
 
     b, gh, gw, e = x.shape
     n = gh * gw
     heads = cfg.num_heads
     hd = e // heads
     t = b * n
-    wq, bq = prepare_qkv_headmajor(p["attn"], heads, x.dtype)
+    wq, sq, bq = _qkv_pack(p["attn"], heads, x.dtype, quantize)
     ones = jnp.ones((t, 1), x.dtype)
-    qkv = _ln_qkv(x.reshape(t, e), ones, p["norm1"], wq, bq,
+    qkv = _ln_qkv(x.reshape(t, e), ones, p["norm1"], wq, sq, bq,
                   cfg.layer_norm_eps, quantize, interpret)
 
     pad = wq.shape[1] // heads
@@ -316,16 +316,27 @@ def _block_apply_windowed(p: dict, xw: jnp.ndarray, pad_valid: jnp.ndarray,
     return _mlp_residual(p, x, cfg, fused_mlp, quantize=quantize)
 
 
-def _ln_qkv(x2d, mask, p_norm, wq, bq, eps, quantize, interpret):
-    """LN + pad re-zeroing + head-grouped qkv projection, bf16 or dynamic-int8
-    fused kernel (kernels/mlp.py / kernels/quant.py)."""
+def _qkv_pack(p_attn: dict, heads: int, dtype, quantize):
+    """Head-major qkv weights: the prequantized int8 pack when present
+    (models/quantize.py), else packed on the fly from the fp qkv weight."""
     if quantize == "int8":
-        from samcarriestheburden_tpu.kernels.quant import (
-            fused_ln_masked_linear_int8, quantize_weight)
+        pk = p_attn["qkv_hm"]
+        return pk["wq"], pk["s"], pk["b"]
+    from samcarriestheburden_tpu.kernels.attention import prepare_qkv_headmajor
 
-        wqq, s = quantize_weight(wq)
+    w, b = prepare_qkv_headmajor(p_attn, heads, dtype)
+    return w, None, b
+
+
+def _ln_qkv(x2d, mask, p_norm, wq, sq, bq, eps, quantize, interpret):
+    """LN + pad re-zeroing + head-grouped qkv projection, bf16 or
+    prequantized-int8 fused kernel (kernels/mlp.py / kernels/quant.py)."""
+    if quantize == "int8":
+        from samcarriestheburden_tpu.kernels.quant import \
+            fused_ln_masked_linear_int8
+
         return fused_ln_masked_linear_int8(
-            x2d, mask, p_norm["scale"], p_norm["bias"], wqq, s, bq,
+            x2d, mask, p_norm["scale"], p_norm["bias"], wq, sq, bq,
             eps=eps, interpret=interpret)
     from samcarriestheburden_tpu.kernels.mlp import fused_ln_masked_linear
 
@@ -344,17 +355,17 @@ def _windowed_attention_headmajor(p: dict, xw: jnp.ndarray,
     (head, hd) jointly — no head-split transpose/slice/squeeze touches HBM
     (they were ~16 ms/img in the v1 path's trace).  Numerically equivalent to
     ``layer_norm -> attention_apply -> proj`` (interpret-tested)."""
-    from samcarriestheburden_tpu.kernels.attention import (
-        fused_rel_attention_headmajor, prepare_qkv_headmajor)
+    from samcarriestheburden_tpu.kernels.attention import \
+        fused_rel_attention_headmajor
 
     wb, ws, _, e = xw.shape
     n = ws * ws
     heads = cfg.num_heads
     hd = e // heads
     t = wb * n
-    wq, bq = prepare_qkv_headmajor(p["attn"], heads, xw.dtype)
+    wq, sq, bq = _qkv_pack(p["attn"], heads, xw.dtype, quantize)
     qkv = _ln_qkv(xw.reshape(t, e), pad_valid.reshape(t, 1), p["norm1"],
-                  wq, bq, cfg.layer_norm_eps, quantize, interpret)
+                  wq, sq, bq, cfg.layer_norm_eps, quantize, interpret)
 
     pad = wq.shape[1] // heads
     qh = qkv.reshape(wb, ws, ws, heads, pad)[..., :hd]     # (wb,ws,ws,h,hd)
@@ -437,6 +448,13 @@ def apply(params: dict, cfg: ImageEncoderConfig, x: jnp.ndarray, *,
     transposes; the per-layer pad re-zeroing preserves exact reference
     numerics (see _block_apply_windowed).
     """
+    if quantize == "int8":
+        from samcarriestheburden_tpu.models.quantize import is_prequantized
+
+        assert fused_mlp and fused_qkv, \
+            "quantize='int8' runs only on the fused TPU path"
+        assert is_prequantized(params["blocks"][0]), \
+            "quantize='int8' requires models.quantize.prequantize_image_encoder"
     x = jnp.transpose(x, (0, 2, 3, 1)).astype(dtype)  # NHWC
     x = conv2d(params["patch_embed"], x,
                stride=(cfg.patch_size, cfg.patch_size), padding="VALID")

@@ -275,21 +275,33 @@ def test_int8_kernels_match_fp32_within_quant_error(rng):
 
 
 def test_int8_encoder_path_tracks_fp32(rng):
-    """Full encoder with quantize='int8' stays close to the fp32 output at
-    tiny config (sanity that the plumbing reaches every block type)."""
+    """Full encoder on the REAL fused int8 path (prequantized params +
+    fused_mlp/fused_qkv, Pallas kernels under force-interpret) stays within
+    quantisation error of fp32 — and measurably differs from it, proving the
+    int8 kernels actually execute (round-2 ADVICE: the old variant compared
+    two identical fp32 runs)."""
     import jax
+    from jax.experimental.pallas import tpu as pltpu
+
+    from samcarriestheburden_tpu.models.quantize import (
+        is_prequantized, prequantize_image_encoder)
 
     cfg = sam_vit_t_config().image_encoder
     params = image_encoder.init(jax.random.PRNGKey(0), cfg)
+    # non-trivial weights: zeros quantize exactly and would hide the path
+    params = jax.tree.map(
+        lambda a: a + 0.05 * jax.random.normal(jax.random.PRNGKey(1), a.shape),
+        params)
     x = rng.standard_normal((1, 3, cfg.img_size, cfg.img_size)).astype(np.float32)
     ref = np.asarray(image_encoder.apply(params, cfg, x))
-    # interpret-mode pallas on CPU via the fused flags is exercised through
-    # the attention impl default; pass interpret via kernels by monkeypatch
-    # is overkill — the per-kernel equivalence above covers numerics, here we
-    # check the quantize flag wires through without error on the XLA path
-    out = np.asarray(image_encoder.apply(params, cfg, x, fused_mlp=False,
-                                         fused_qkv=False, quantize="int8"))
-    np.testing.assert_allclose(out, ref, atol=1e-5)
+    pq = prequantize_image_encoder(params, cfg)
+    assert is_prequantized(pq["blocks"][0])
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(image_encoder.apply(
+            pq, cfg, x, fused_mlp=True, fused_qkv=True, quantize="int8"))
+    rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-6)
+    assert rel < 0.06, rel           # within int8 quantisation error
+    assert rel > 1e-5, rel           # ...and actually quantized
 
 
 def test_affine_warp_kernel_matches_grid_sample(rng):
