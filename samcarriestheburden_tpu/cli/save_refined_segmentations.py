@@ -32,6 +32,10 @@ def main(argv=None):
     p.add_argument("--morph_op", default="dilation")
     p.add_argument("--struct_elem", default="square")
     p.add_argument("--radius", type=int, default=8)
+    p.add_argument("--decoder_dtype", choices=["float32", "bfloat16"],
+                   default="float32",
+                   help="decoder compute precision; float32 is the torch-"
+                        "parity default, bfloat16 the TPU serving opt-in")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--img_batch", type=int, default=8,
                    help="images per device dispatch (1 = reference-style "
@@ -71,8 +75,13 @@ def main(argv=None):
     if args.sam_checkpoint is not None:
         from samcarriestheburden_tpu.engine.decoder_head import SamMaskDecoderHead
 
+        import jax.numpy as jnp
+
         head = SamMaskDecoderHead(args.sam_checkpoint, args.sam_model_type,
-                                  args.embeddings)
+                                  args.embeddings,
+                                  compute_dtype={"float32": jnp.float32,
+                                                 "bfloat16": jnp.bfloat16}[
+                                                     args.decoder_dtype])
         sam_refiner = SamSegRefiner(head, None, refine_params["prompts2use"])
     else:
         sam_refiner = SamSegRefiner(args.sam_type, None,

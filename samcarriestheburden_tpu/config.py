@@ -215,7 +215,7 @@ class TrainConfig(_ConfigBase):
     epoch_scan: Optional[bool] = None
     #: augmentation warp implementation: None = auto ('matmul' on TPU — the
     #: gather-free MXU formulation, train/augment.py — 'gather' elsewhere);
-    #: explicit 'matmul' / 'gather' / 'pallas' to force
+    #: explicit 'matmul' / 'gather' to force
     aug_method: Optional[str] = None
     #: dataset residency: 'replicated' copies the whole split to every device
     #: (right for GrazPedWri's 64/500-image splits — zero gather collectives);

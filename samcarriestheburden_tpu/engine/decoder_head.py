@@ -41,8 +41,10 @@ class SamMaskDecoderHead:
         weights are dropped after conversion (reference :31-35).  ``device``
         is accepted for signature parity and ignored (JAX manages placement).
         ``compute_dtype``: decoder matmul/elementwise precision — defaults to
-        bfloat16 on TPU (halves the ~1 GB of fp32 upscaling intermediates per
-        batched dispatch) and float32 elsewhere (torch parity).
+        float32 (the torch-parity contract the rest of the API advertises).
+        Pass ``jnp.bfloat16`` as the serving opt-in on TPU: it halves the
+        ~1 GB of fp32 upscaling intermediates per batched dispatch (the
+        sweep CLI exposes it as ``--decoder_dtype bfloat16``).
         """
         from samcarriestheburden_tpu.config import (
             sam_vit_b_config, sam_vit_h_config, sam_vit_l_config,
@@ -75,10 +77,8 @@ class SamMaskDecoderHead:
             "mask_decoder": params["mask_decoder"],
         })
         self.mask_threshold = self.cfg.mask_threshold
-        if compute_dtype is None:
-            compute_dtype = (jnp.bfloat16 if jax.default_backend() == "tpu"
-                             else jnp.float32)
-        self.compute_dtype = compute_dtype
+        self.compute_dtype = (jnp.float32 if compute_dtype is None
+                              else compute_dtype)
         self._decode = jax.jit(self._decode_impl)
         self._features_cache: Tuple[Optional[str], Optional[jnp.ndarray]] = (None, None)
 

@@ -265,17 +265,8 @@ def _global_attention_headmajor(p: dict, x: jnp.ndarray,
                   cfg.layer_norm_eps, quantize, interpret)
 
     pad = wq.shape[1] // heads
-    qh = qkv.reshape(b, gh, gw, heads, pad)[..., :hd]
-    th = resize_rel_pos_table(p["attn"]["rel_pos_h"], 2 * gh - 1)[
-        _rel_pos_indices(gh, gh)].astype(x.dtype)
-    tw = resize_rel_pos_table(p["attn"]["rel_pos_w"], 2 * gw - 1)[
-        _rel_pos_indices(gw, gw)].astype(x.dtype)
-    rel_h = jnp.einsum("bpqhc,pkc->hbpqk", qh, th,
-                       preferred_element_type=jnp.float32)
-    rel_w = jnp.einsum("bpqhc,qkc->hbpqk", qh, tw,
-                       preferred_element_type=jnp.float32)
-    rel_h = rel_h.reshape(heads, b, n, gh).astype(x.dtype)
-    rel_w = rel_w.reshape(heads, b, n, gw).astype(x.dtype)
+    rel_h, rel_w = _rel_bias_headmajor(qkv, p["attn"], heads=heads, pad=pad,
+                                       hd=hd, b=b, gh=gh, gw=gw, dtype=x.dtype)
 
     out = fused_rel_attention_headmajor_global(
         qkv.reshape(b, n, heads * pad), rel_h, rel_w,
@@ -314,6 +305,49 @@ def _block_apply_windowed(p: dict, xw: jnp.ndarray, pad_valid: jnp.ndarray,
     x = attention_impl(p["attn"], x, cfg.num_heads, cfg.use_rel_pos)
     x = shortcut + x
     return _mlp_residual(p, x, cfg, fused_mlp, quantize=quantize)
+
+
+def _rel_bias_headmajor(qkv2d: jnp.ndarray, p_attn: dict, *, heads: int,
+                        pad: int, hd: int, b: int, gh: int, gw: int, dtype):
+    """Decomposed rel-pos biases from the head-major qkv activations.
+
+    The obvious formulation — slice q out of the per-head [q|k|v|pad] column
+    groups and run the p-batched einsum ``bpqhc,pkc->hbpqk`` — costs ~10 ms/img
+    on ViT-H in pure data movement (traced round 3): the 80-of-256 lane slice,
+    the p-major operand transpose of a 50 MB tensor and the 14-lane outputs
+    all relayout in HBM.  Instead:
+
+    1. contract the FULL padded qkv against zero-padded rel tables — one
+       plain (T·heads, pad) x (pad, Rh+Rw) matmul, no slice, no transpose
+       (zeros in the table rows beyond q's columns kill the k/v/pad parts);
+    2. gather table rows by relative offset as a tiny one-hot einsum over the
+       R-row axis (R = 2·ws-1), which is 14x fewer FLOPs than contracting
+       over head_dim and moves (T·heads, R) fp32 instead of q itself.
+
+    Returns rel_h (heads, b, n, gh), rel_w (heads, b, n, gw) in ``dtype``.
+    """
+    t = b * gh * gw
+    n = gh * gw
+    rh_max, rw_max = 2 * gh - 1, 2 * gw - 1
+    th = resize_rel_pos_table(p_attn["rel_pos_h"], rh_max)      # (Rh, hd)
+    tw = resize_rel_pos_table(p_attn["rel_pos_w"], rw_max)
+    tcat = jnp.concatenate([th, tw], axis=0)
+    tcat = jnp.pad(tcat, ((0, 0), (0, pad - hd))).astype(dtype)
+
+    g = jnp.einsum("thc,rc->thr", qkv2d.reshape(t, heads, pad), tcat,
+                   preferred_element_type=jnp.float32)
+    g = g.reshape(b, gh, gw, heads, rh_max + rw_max)
+
+    sel_h = jnp.asarray(np.eye(rh_max, dtype=np.float32)[
+        _rel_pos_indices(gh, gh)])                              # (gh, gh, Rh)
+    sel_w = jnp.asarray(np.eye(rw_max, dtype=np.float32)[
+        _rel_pos_indices(gw, gw)])
+    rel_h = jnp.einsum("bpqhr,pkr->hbpqk", g[..., :rh_max], sel_h,
+                       preferred_element_type=jnp.float32)
+    rel_w = jnp.einsum("bpqhr,qkr->hbpqk", g[..., rh_max:], sel_w,
+                       preferred_element_type=jnp.float32)
+    return (rel_h.reshape(heads, b, n, gh).astype(dtype),
+            rel_w.reshape(heads, b, n, gw).astype(dtype))
 
 
 def _qkv_pack(p_attn: dict, heads: int, dtype, quantize):
@@ -368,17 +402,9 @@ def _windowed_attention_headmajor(p: dict, xw: jnp.ndarray,
                   wq, sq, bq, cfg.layer_norm_eps, quantize, interpret)
 
     pad = wq.shape[1] // heads
-    qh = qkv.reshape(wb, ws, ws, heads, pad)[..., :hd]     # (wb,ws,ws,h,hd)
-    th = resize_rel_pos_table(p["attn"]["rel_pos_h"], 2 * ws - 1)[
-        _rel_pos_indices(ws, ws)].astype(xw.dtype)          # (ws, ws, hd)
-    tw = resize_rel_pos_table(p["attn"]["rel_pos_w"], 2 * ws - 1)[
-        _rel_pos_indices(ws, ws)].astype(xw.dtype)
-    rel_h = jnp.einsum("bpqhc,pkc->hbpqk", qh, th,
-                       preferred_element_type=jnp.float32)
-    rel_w = jnp.einsum("bpqhc,qkc->hbpqk", qh, tw,
-                       preferred_element_type=jnp.float32)
-    rel_h = rel_h.reshape(heads, wb, n, ws).astype(xw.dtype)
-    rel_w = rel_w.reshape(heads, wb, n, ws).astype(xw.dtype)
+    rel_h, rel_w = _rel_bias_headmajor(qkv, p["attn"], heads=heads, pad=pad,
+                                       hd=hd, b=wb, gh=ws, gw=ws,
+                                       dtype=xw.dtype)
 
     out = fused_rel_attention_headmajor(
         qkv.reshape(wb, n, heads * pad), rel_h, rel_w,

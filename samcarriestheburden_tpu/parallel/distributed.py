@@ -69,25 +69,42 @@ def global_batch(mesh, local_tree, axis: str = "data"):
 
 
 def make_hybrid_mesh(ici_axis_size: Optional[int] = None,
-                     axis_names: Sequence[str] = ("data",)):
+                     axis_names: Sequence[str] = ("data",),
+                     devices: Optional[Sequence] = None):
     """Data mesh for multi-slice TPU: devices ordered so the leading
     (slower-varying) factor of the data axis crosses DCN and the trailing
-    factor stays on ICI.  With one slice this degenerates to the flat mesh."""
+    factor stays on ICI.  With one slice this degenerates to the flat mesh.
+
+    Slice count comes from the devices' ``slice_index`` (the attribute real
+    multi-slice TPU devices expose); devices without it — CPU, single-slice —
+    count as one slice.  When the hybrid ordering cannot be applied on a
+    multi-slice topology we *warn* rather than silently falling back (the
+    round-2 version swallowed every error into the flat mesh, defeating the
+    DCN-vs-ICI ordering it promised)."""
     import numpy as np
     from jax.sharding import Mesh
 
-    devices = jax.devices()
+    devices = list(jax.devices() if devices is None else devices)
     n = len(devices)
-    ici = ici_axis_size or max(
-        (getattr(d, "num_slices", 1) == 1 and n) or n // d.num_slices
-        for d in devices[:1])
+    n_slices = len({getattr(d, "slice_index", 0) for d in devices})
+    ici = ici_axis_size or n // n_slices
+    if n % ici:
+        raise ValueError(f"{n} devices not divisible by ici size {ici}")
+    if n // ici == 1:  # one slice: flat mesh IS the right ordering
+        return Mesh(np.asarray(devices), tuple(axis_names))
     try:
         from jax.experimental import mesh_utils
 
         grid = mesh_utils.create_hybrid_device_mesh(
             (ici,), (n // ici,), devices=devices)
         grid = grid.reshape(n)
-    except Exception:  # single-slice / CPU: topology helper not applicable
+    except Exception as e:  # pragma: no cover - depends on runtime topology
+        import warnings
+
+        warnings.warn(
+            f"hybrid mesh ordering not applied ({e}); falling back to the "
+            f"flat device order — cross-slice collectives may ride DCN "
+            f"suboptimally")
         grid = np.asarray(devices)
     return Mesh(grid.reshape((n,)), tuple(axis_names))
 

@@ -31,6 +31,15 @@ def trace(log_dir="runs/profile"):
         jax.profiler.stop_trace()
 
 
+def _sync_op():
+    """A trivial jitted computation whose fetched result bounds all previously
+    enqueued device work (single-stream execution order)."""
+    import jax
+    import jax.numpy as jnp
+
+    return jax.jit(lambda: jnp.zeros((), jnp.float32) + 1)()
+
+
 class PhaseTimer:
     def __init__(self, sync: bool = True):
         self.totals: Dict[str, float] = defaultdict(float)
@@ -48,10 +57,13 @@ class PhaseTimer:
 
                 try:
                     jax.effects_barrier()
-                    # drain pending pure computation too: device execution is
-                    # ordered, so a trivial round-trip syncs the stream
-                    jax.block_until_ready(
-                        jax.device_put(0, jax.devices()[0]))
+                    # drain pending pure computation: run a tiny jitted op on
+                    # the device and fetch it — compute dispatch is ordered,
+                    # so its completion bounds everything enqueued before it.
+                    # (A bare device_put is NOT ordered against the compute
+                    # stream — round-2 ADVICE — and over the axon tunnel
+                    # block_until_ready on transfers returns early.)
+                    float(_sync_op())
                 except Exception:
                     pass
             self.totals[name] += time.perf_counter() - t0

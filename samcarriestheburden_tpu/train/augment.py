@@ -134,14 +134,13 @@ def warp_affine(x: jnp.ndarray, y: jnp.ndarray, theta: jnp.ndarray,
         exactly) so the mask warp costs 1 channel instead of 17.
       * ``"gather"`` — the 4-tap ``take_along_axis`` formulation (exact
         reference semantics, fast on CPU, slow on TPU).
-      * ``"pallas"`` — the fused VMEM kernel (kernels/warp.py;
-        interpret-only until Mosaic grows multi-vreg dynamic_gather).
+
+    (A fused Pallas warp kernel was tried in round 2 and removed: Mosaic's
+    ``dynamic_gather`` is single-vreg-only so it could never lower to
+    hardware, and the matmul formulation already erased the augmentation tax
+    — 138 ms/step augmented == plain, BENCHMARKS.md.)
     """
     grid = affine_grid(theta, x.shape[-2:])
-    if method == "pallas":
-        from samcarriestheburden_tpu.kernels.warp import affine_warp
-
-        return affine_warp(x, theta, "bilinear"), affine_warp(y, theta, "nearest")
     if method == "gather":
         return grid_sample(x, grid, "bilinear"), grid_sample(y, grid, "nearest")
     xw = grid_sample_matmul(x, grid, "bilinear")

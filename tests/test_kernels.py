@@ -304,21 +304,6 @@ def test_int8_encoder_path_tracks_fp32(rng):
     assert rel > 1e-5, rel           # ...and actually quantized
 
 
-def test_affine_warp_kernel_matches_grid_sample(rng):
-    import jax.numpy as jnp
-
-    from samcarriestheburden_tpu.kernels.warp import affine_warp
-    from samcarriestheburden_tpu.train.augment import affine_grid, grid_sample
-
-    x = rng.standard_normal((2, 3, 16, 24)).astype(np.float32)
-    theta = (np.eye(2, 3)[None] + rng.standard_normal((2, 2, 3)) * 0.08).astype(np.float32)
-    grid = np.asarray(affine_grid(theta, (16, 24)))
-    for mode in ["bilinear", "nearest"]:
-        ref = np.asarray(grid_sample(x, grid, mode))
-        ours = np.asarray(affine_warp(x, theta, mode=mode, interpret=True))
-        np.testing.assert_allclose(ours, ref, atol=1e-5)
-
-
 def test_fast_gelu_matches_exact(rng):
     """A&S-polynomial GELU (serving paths) == exact-erf GELU to fp32 noise."""
     import jax.numpy as jnp

@@ -12,7 +12,15 @@ BENCH_r*.json's ``vs_baseline`` uses a literature-derived absolute estimate
 (A100 figures); this tool gives a hardware-controlled MEASUREMENT of the
 architecture factor for the decode leg, which VERDICT r1 asked for.
 
+Round 3 adds the ENCODER leg (VERDICT #3): the reference's torch vit_b
+image encoder at the real 1024x1024 input vs ours (same random weights via
+the .pth converter, same single CPU), composing a fully *measured*
+same-hardware cost-structure ratio alongside the A100-literature estimate.
+Results persist to BENCH_cpu_anchor.json at the repo root; bench.py embeds
+them into its JSON detail as ``vs_baseline_measured_cpu``.
+
 Usage: python tools/bench_reference_cpu.py [--classes 17] [--imgs 3]
+                                           [--encoder_iters 2] [--no_encoder]
 """
 
 from __future__ import annotations
@@ -33,6 +41,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--classes", type=int, default=17)
     ap.add_argument("--imgs", type=int, default=3)
+    ap.add_argument("--encoder_iters", type=int, default=2)
+    ap.add_argument("--no_encoder", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -147,12 +157,56 @@ def main():
 
     import json
 
-    print(json.dumps({
+    result = {
         "reference_sequential_s_per_img": round(t_ref, 3),
         "ours_batched_s_per_img": round(t_ours, 3),
         "architecture_speedup_same_cpu": round(t_ref / t_ours, 2),
         "classes": C, "hardware": "cpu (identical for both)",
-    }))
+    }
+
+    # ---- encoder leg: torch vit_b 1024^2 forward vs ours, same weights ---
+    if not args.no_encoder:
+        x_np = rng.standard_normal((1, 3, 1024, 1024)).astype(np.float32)
+
+        sam_t = sam_model_registry["vit_b"](checkpoint=str(ckpt))
+        sam_t.eval()
+        with torch.no_grad():
+            xt = torch.from_numpy(x_np)
+            sam_t.image_encoder(xt)  # warm
+            t0 = time.perf_counter()
+            for _ in range(args.encoder_iters):
+                sam_t.image_encoder(xt)
+        t_enc_ref = (time.perf_counter() - t0) / args.encoder_iters
+        del sam_t
+
+        import jax.numpy as jnp
+
+        from samcarriestheburden_tpu.models import image_encoder
+        from samcarriestheburden_tpu.models.build import \
+            sam_model_registry as our_registry
+
+        model_j = our_registry["vit_b"](checkpoint=str(ckpt))
+        enc = jax.jit(lambda p, x: image_encoder.apply(
+            p, model_j.cfg.image_encoder, x))
+        xj = jnp.asarray(x_np)
+        np.asarray(enc(model_j.params["image_encoder"], xj))  # compile
+        t0 = time.perf_counter()
+        for _ in range(args.encoder_iters):
+            np.asarray(enc(model_j.params["image_encoder"], xj))
+        t_enc_ours = (time.perf_counter() - t0) / args.encoder_iters
+
+        result.update({
+            "reference_encoder_s_per_img": round(t_enc_ref, 3),
+            "ours_encoder_s_per_img": round(t_enc_ours, 3),
+            "encoder_speedup_same_cpu": round(t_enc_ref / t_enc_ours, 3),
+            "composed_speedup_same_cpu": round(
+                (t_enc_ref + t_ref) / (t_enc_ours + t_ours), 3),
+            "encoder_model": "vit_b fp32 1024^2 (same random .pth weights)",
+        })
+
+    out = Path(__file__).resolve().parent.parent / "BENCH_cpu_anchor.json"
+    out.write_text(json.dumps(result, indent=1))
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

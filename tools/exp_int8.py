@@ -203,6 +203,14 @@ def main():
                 h = h * jax.nn.sigmoid(1.702 * h)
             elif act == "relu":
                 h = jnp.maximum(h, 0.0)
+            elif act == "poly":
+                u = h * h
+                p = 1.0962050526e-08
+                for c in (-9.3423034307e-07, 3.3436889582e-05,
+                          -6.5934551371e-04, 7.9518464564e-03,
+                          -6.2628257803e-02, 3.9645120080e-01):
+                    p = p * u + c
+                h = h * jnp.clip(0.5 + h * p, 0.0, 1.0)
             if fixed_hscale:
                 hq = jnp.round(h * 8.0).astype(jnp.int8)  # bogus numerics
                 sh = jnp.full_like(sx, 1.0 / 8.0)
@@ -232,6 +240,8 @@ def main():
               w2q, s2, b2.reshape(1, -1))
         return jax.jit(run)
 
+    exps["diag_poly"] = (mk_diag("poly"), (xb,))
+    exps["diag_poly_t512"] = (mk_diag("poly", t_block=512), (xb,))
     exps["diag_erf"] = (mk_diag("erf"), (xb,))
     exps["diag_sigmoid"] = (mk_diag("sigmoid"), (xb,))
     exps["diag_relu"] = (mk_diag("relu"), (xb,))
