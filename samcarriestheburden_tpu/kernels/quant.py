@@ -214,3 +214,48 @@ def fused_ln_masked_linear_int8(x, mask, ln_scale, ln_bias, wq, s, b, *,
         interpret=interpret,
     )(x, mask, ln_scale.reshape(1, -1), ln_bias.reshape(1, -1),
       wq, s.reshape(1, -1), b.reshape(1, -1))
+
+
+# ---------------------------------------------------------------------------
+# Pure-jnp mirrors of the int8 kernels (CPU-runnable reference path)
+# ---------------------------------------------------------------------------
+
+
+def ln_mlp_residual_int8_xla(x, ln_scale, ln_bias, w1q, s1, b1, w2q, s2, b2,
+                             add=None, *, eps: float = 1e-6,
+                             gelu: str = "poly") -> jnp.ndarray:
+    """Same arithmetic as fused_ln_mlp_residual_int8 in plain jnp ops (int32
+    MXU dots included): the quantization error model is identical, so this is
+    the CPU-runnable reference for end-to-end int8 accuracy gates
+    (tests/test_quantize.py) — Mosaic kernels need hardware or the (orders-
+    of-magnitude slower) interpreter."""
+    xf = x.astype(jnp.float32)
+    if add is not None:
+        xf = xf + add.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    xn = (xf - mean) * jax.lax.rsqrt(var + eps)
+    xn = xn * ln_scale.reshape(1, -1) + ln_bias.reshape(1, -1)
+    xq, sx = _row_quant(xn)
+    h = _int8_dot(xq, w1q).astype(jnp.float32)
+    h = h * (sx * s1.reshape(1, -1)) + b1.reshape(1, -1)
+    h = _gelu(h, gelu)
+    hq, sh = _row_quant(h)
+    y = _int8_dot(hq, w2q).astype(jnp.float32)
+    y = y * (sh * s2.reshape(1, -1)) + b2.reshape(1, -1)
+    return (xf + y).astype(x.dtype)
+
+
+def ln_masked_linear_int8_xla(x, mask, ln_scale, ln_bias, wq, s, b, *,
+                              eps: float = 1e-6) -> jnp.ndarray:
+    """jnp mirror of fused_ln_masked_linear_int8 (see above)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    xn = (xf - mean) * jax.lax.rsqrt(var + eps)
+    xn = xn * ln_scale.reshape(1, -1) + ln_bias.reshape(1, -1)
+    xn = xn * mask.astype(jnp.float32)
+    xq, sx = _row_quant(xn)
+    y = _int8_dot(xq, wq).astype(jnp.float32)
+    y = y * (sx * s.reshape(1, -1)) + b.reshape(1, -1)
+    return y.astype(x.dtype)

@@ -201,19 +201,22 @@ def _mlp_residual(p: dict, x: jnp.ndarray, cfg: ImageEncoderConfig,
     ``quantize='int8'`` routes through the int8 kernel (kernels/quant.py;
     opt-in serving mode) and requires PREQUANTIZED params
     (models/quantize.prequantize_image_encoder — quantizing 0.6B weights
-    inside the jitted forward costs an HBM pass per call, VERDICT round 2)."""
-    if fused and quantize == "int8":
-        from samcarriestheburden_tpu.kernels.quant import \
-            fused_ln_mlp_residual_int8
+    inside the jitted forward costs an HBM pass per call, VERDICT round 2);
+    ``'int8_xla'`` is the plain-jnp mirror of the same arithmetic (CPU-
+    runnable accuracy-gate path, tests/test_quantize.py)."""
+    if fused and quantize in ("int8", "int8_xla"):
+        from samcarriestheburden_tpu.kernels.quant import (
+            fused_ln_mlp_residual_int8, ln_mlp_residual_int8_xla)
 
         l1, l2 = p["mlp"]["lin1"], p["mlp"]["lin2"]
         lead = x.shape[:-1]
         e = x.shape[-1]
-        y = fused_ln_mlp_residual_int8(
-            x.reshape(-1, e), p["norm2"]["scale"], p["norm2"]["bias"],
-            l1["wq"], l1["s"], l1["b"], l2["wq"], l2["s"], l2["b"],
-            add=add.reshape(-1, e) if add is not None else None,
-            eps=cfg.layer_norm_eps)
+        fn = (fused_ln_mlp_residual_int8 if quantize == "int8"
+              else ln_mlp_residual_int8_xla)
+        y = fn(x.reshape(-1, e), p["norm2"]["scale"], p["norm2"]["bias"],
+               l1["wq"], l1["s"], l1["b"], l2["wq"], l2["s"], l2["b"],
+               add=add.reshape(-1, e) if add is not None else None,
+               eps=cfg.layer_norm_eps)
         return y.reshape(*lead, e)
     if fused:
         from samcarriestheburden_tpu.kernels.mlp import mlp_residual_apply
@@ -268,9 +271,14 @@ def _global_attention_headmajor(p: dict, x: jnp.ndarray,
     rel_h, rel_w = _rel_bias_headmajor(qkv, p["attn"], heads=heads, pad=pad,
                                        hd=hd, b=b, gh=gh, gw=gw, dtype=x.dtype)
 
-    out = fused_rel_attention_headmajor_global(
-        qkv.reshape(b, n, heads * pad), rel_h, rel_w,
-        kh=gh, kw=gw, heads=heads, hd=hd, interpret=interpret)
+    if quantize == "int8_xla":
+        out = _headmajor_attention_xla(qkv.reshape(b, n, heads * pad),
+                                       rel_h, rel_w, heads=heads, hd=hd,
+                                       kh=gh, kw=gw)
+    else:
+        out = fused_rel_attention_headmajor_global(
+            qkv.reshape(b, n, heads * pad), rel_h, rel_w,
+            kh=gh, kw=gw, heads=heads, hd=hd, interpret=interpret)
 
     proj = p["attn"]["proj"]
     wp = proj["w"].reshape(heads, hd, e).astype(x.dtype)
@@ -353,7 +361,7 @@ def _rel_bias_headmajor(qkv2d: jnp.ndarray, p_attn: dict, *, heads: int,
 def _qkv_pack(p_attn: dict, heads: int, dtype, quantize):
     """Head-major qkv weights: the prequantized int8 pack when present
     (models/quantize.py), else packed on the fly from the fp qkv weight."""
-    if quantize == "int8":
+    if quantize in ("int8", "int8_xla"):
         pk = p_attn["qkv_hm"]
         return pk["wq"], pk["s"], pk["b"]
     from samcarriestheburden_tpu.kernels.attention import prepare_qkv_headmajor
@@ -365,10 +373,14 @@ def _qkv_pack(p_attn: dict, heads: int, dtype, quantize):
 def _ln_qkv(x2d, mask, p_norm, wq, sq, bq, eps, quantize, interpret):
     """LN + pad re-zeroing + head-grouped qkv projection, bf16 or
     prequantized-int8 fused kernel (kernels/mlp.py / kernels/quant.py)."""
-    if quantize == "int8":
-        from samcarriestheburden_tpu.kernels.quant import \
-            fused_ln_masked_linear_int8
+    if quantize in ("int8", "int8_xla"):
+        from samcarriestheburden_tpu.kernels.quant import (
+            fused_ln_masked_linear_int8, ln_masked_linear_int8_xla)
 
+        if quantize == "int8_xla":
+            return ln_masked_linear_int8_xla(
+                x2d, mask, p_norm["scale"], p_norm["bias"], wq, sq, bq,
+                eps=eps)
         return fused_ln_masked_linear_int8(
             x2d, mask, p_norm["scale"], p_norm["bias"], wq, sq, bq,
             eps=eps, interpret=interpret)
@@ -406,10 +418,15 @@ def _windowed_attention_headmajor(p: dict, xw: jnp.ndarray,
                                        hd=hd, b=wb, gh=ws, gw=ws,
                                        dtype=xw.dtype)
 
-    out = fused_rel_attention_headmajor(
-        qkv.reshape(wb, n, heads * pad), rel_h, rel_w,
-        kh=ws, kw=ws, heads=heads, hd=hd,
-        interpret=interpret)                                # (h, wb, n, hd)
+    if quantize == "int8_xla":
+        out = _headmajor_attention_xla(qkv.reshape(wb, n, heads * pad),
+                                       rel_h, rel_w, heads=heads, hd=hd,
+                                       kh=ws, kw=ws)
+    else:
+        out = fused_rel_attention_headmajor(
+            qkv.reshape(wb, n, heads * pad), rel_h, rel_w,
+            kh=ws, kw=ws, heads=heads, hd=hd,
+            interpret=interpret)                            # (h, wb, n, hd)
 
     proj = p["attn"]["proj"]
     wp = proj["w"].reshape(heads, hd, e).astype(xw.dtype)
@@ -419,6 +436,23 @@ def _windowed_attention_headmajor(p: dict, xw: jnp.ndarray,
     if "b" in proj:
         a = a + proj["b"].astype(jnp.float32)
     return a.reshape(wb, ws, ws, e).astype(xw.dtype)
+
+
+def _headmajor_attention_xla(qkv: jnp.ndarray, rel_h: jnp.ndarray,
+                             rel_w: jnp.ndarray, *, heads: int, hd: int,
+                             kh: int, kw: int) -> jnp.ndarray:
+    """Plain-jnp mirror of the fused head-major attention kernels (same
+    (B, n, heads·pad) input / (heads, B, n, hd) output contract) for the
+    CPU-runnable int8 accuracy-gate path — Mosaic kernels need hardware."""
+    b, n, _ = qkv.shape
+    x4 = qkv.reshape(b, n, heads, -1)
+    q, k, v = x4[..., :hd], x4[..., hd:2 * hd], x4[..., 2 * hd:3 * hd]
+    attn = jnp.einsum("bnhc,bmhc->hbnm", q * (hd ** -0.5), k,
+                      preferred_element_type=jnp.float32)
+    bias = (jnp.repeat(rel_h.astype(jnp.float32), kw, axis=-1)
+            + jnp.tile(rel_w.astype(jnp.float32), (1, 1, 1, kh)))
+    attn = jax.nn.softmax(attn + bias, axis=-1)
+    return jnp.einsum("hbnm,bmhc->hbnc", attn.astype(v.dtype), v)
 
 
 def _pad_valid_mask(b: int, h: int, w: int, window_size: int, dtype) -> jnp.ndarray:
@@ -474,7 +508,7 @@ def apply(params: dict, cfg: ImageEncoderConfig, x: jnp.ndarray, *,
     transposes; the per-layer pad re-zeroing preserves exact reference
     numerics (see _block_apply_windowed).
     """
-    if quantize == "int8":
+    if quantize in ("int8", "int8_xla"):
         from samcarriestheburden_tpu.models.quantize import is_prequantized
 
         assert fused_mlp and fused_qkv, \

@@ -34,10 +34,12 @@ def _seg_cummax(vals: jnp.ndarray, bg: jnp.ndarray, axis: int,
     return out
 
 
-@partial(jax.jit, static_argnames=("num_iterations", "check_every", "method"))
+@partial(jax.jit, static_argnames=("num_iterations", "check_every", "method",
+                                   "return_converged"))
 def connected_components(mask: jnp.ndarray, num_iterations: int,
                          check_every: int = 16,
-                         method: str = "pool") -> jnp.ndarray:
+                         method: str = "pool",
+                         return_converged: bool = False) -> jnp.ndarray:
     """Label 8-connected components of (..., H, W) binary masks.
 
     Returns int32 labels; 0 = background, foreground labels are arbitrary
@@ -99,9 +101,9 @@ def connected_components(mask: jnp.ndarray, num_iterations: int,
             new = round_(labels)
             return i + 1, new, jnp.array_equal(new, labels)
 
-        _, labels, _ = jax.lax.while_loop(
+        _, labels, done = jax.lax.while_loop(
             cond, body, (jnp.int32(0), init, jnp.asarray(False)))
-        return labels
+        return (labels, done) if return_converged else labels
 
     def cond(state):
         i, _, done = state
@@ -113,9 +115,12 @@ def connected_components(mask: jnp.ndarray, num_iterations: int,
         new = jax.lax.fori_loop(0, n, propagate, labels)
         return i + n, new, jnp.array_equal(new, labels)
 
-    _, labels, _ = jax.lax.while_loop(
+    _, labels, done = jax.lax.while_loop(
         cond, body, (jnp.int32(0), init, jnp.asarray(False)))
-    return labels
+    # ``done`` records a DETECTED fixpoint; hitting the iteration cap without
+    # one means the labelling may be stale (spiral/elongated shapes whose
+    # geodesic diameter exceeds num_iterations) — exactly like kornia's
+    return (labels, done) if return_converged else labels
 
 
 @partial(jax.jit, static_argnames=("selection", "num_iter", "max_components"))
@@ -138,31 +143,54 @@ def remove_all_but_one_connected_component(prob_mask: jnp.ndarray, selection: st
     broadcast compare + sum.  Classes with more than ``max_components``
     connected components (physically impossible for U-Net bone masks; raise
     the bound if ever needed) would silently ignore the lowest-indexed ones.
+
+    Root detection assumes the propagation REACHED its fixpoint.  When it
+    hits the iteration cap unconverged (spiral shapes with geodesic diameter
+    > num_iter — kornia, which the reference uses, truncates identically),
+    stale intermediate labels exist whose origin pixel was overwritten, and
+    the reference's segment-histogram semantics differ from roots.  That
+    case switches (``lax.cond``, so the fast path pays nothing) to an exact
+    sort-based unique over the final label map — the same candidates a
+    histogram of the truncated labelling sees.
     """
     assert prob_mask.ndim == 3, "segmentation_mask should be 3D tensor of shape (C, H, W)"
     if selection not in ("largest", "highest_probability"):
         raise NotImplementedError(f"Invalid selection: {selection}")
     c, h, w = prob_mask.shape
-    labels = connected_components(prob_mask.astype(jnp.float32), num_iter)  # (C, H, W)
+    labels, converged = connected_components(
+        prob_mask.astype(jnp.float32), num_iter, return_converged=True)
     k = min(max_components, h * w)
 
-    def per_class(lbl, prob):
-        flat_lbl = lbl.reshape(-1)
-        flat_prob = prob.reshape(-1)
+    def cand_roots(flat_lbl):
         init = jnp.arange(h * w, dtype=jnp.int32) + 1
         roots = jnp.where(flat_lbl == init, flat_lbl, 0)     # 0 = not a root
         cand, _ = jax.lax.top_k(roots, k)                     # (K,) labels
-        hit = (flat_lbl[None, :] == cand[:, None]) & (cand[:, None] > 0)
-        hit = hit.astype(jnp.float32)                         # (K, HW)
-        areas = jnp.sum(hit, axis=1)
-        if selection == "largest":
-            metric = areas
-        else:
-            sums = hit @ flat_prob
-            metric = sums / jnp.maximum(areas, 1.0)
-        metric = jnp.where((cand > 0) & (areas > 0), metric, -jnp.inf)
-        winner = cand[jnp.argmax(metric)]
-        keep = (lbl == winner) & (lbl > 0)
-        return keep.astype(prob.dtype) * prob
+        return cand
 
-    return jax.vmap(per_class)(labels, prob_mask)
+    def cand_unique(flat_lbl):
+        s = jnp.sort(flat_lbl)                                # ascending
+        first = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
+        cand, _ = jax.lax.top_k(jnp.where(first, s, 0), k)
+        return cand
+
+    def select(cand_fn):
+        def per_class(lbl, prob):
+            flat_lbl = lbl.reshape(-1)
+            flat_prob = prob.reshape(-1)
+            cand = cand_fn(flat_lbl)
+            hit = (flat_lbl[None, :] == cand[:, None]) & (cand[:, None] > 0)
+            hit = hit.astype(jnp.float32)                     # (K, HW)
+            areas = jnp.sum(hit, axis=1)
+            if selection == "largest":
+                metric = areas
+            else:
+                sums = hit @ flat_prob
+                metric = sums / jnp.maximum(areas, 1.0)
+            metric = jnp.where((cand > 0) & (areas > 0), metric, -jnp.inf)
+            winner = cand[jnp.argmax(metric)]
+            keep = (lbl == winner) & (lbl > 0)
+            return keep.astype(prob.dtype) * prob
+
+        return lambda: jax.vmap(per_class)(labels, prob_mask)
+
+    return jax.lax.cond(converged, select(cand_roots), select(cand_unique))

@@ -68,3 +68,53 @@ def test_scan_and_pool_methods_agree(rng):
         scan = np.asarray(connected_components(mask, n, method="scan"))
         pool = np.asarray(connected_components(mask, n, method="pool"))
         np.testing.assert_array_equal(scan, pool)
+
+
+def test_unconverged_selection_matches_truncated_histogram():
+    """A spiral whose geodesic diameter exceeds num_iter leaves the pool
+    propagation unconverged; selection must then match the reference's
+    (kornia's) semantics — a histogram over the TRUNCATED label map — not
+    the fixpoint-roots shortcut (round-2 ADVICE).  Oracle: numpy histogram
+    over our own truncated labels (bit-identical to kornia's truncation)."""
+    import numpy as np
+
+    from samcarriestheburden_tpu.ops.ccl import (
+        connected_components, remove_all_but_one_connected_component)
+
+    h = w = 33
+    mask = np.zeros((h, w), np.float32)
+    # rectangular spiral: one long 1-px path
+    top, bot, left, right = 0, h - 1, 0, w - 1
+    while left <= right and top <= bot:
+        mask[top, left:right + 1] = 1
+        mask[top:bot + 1, right] = 1
+        mask[bot, left:right + 1] = 1
+        mask[top + 2:bot + 1, left] = 1
+        top += 2; bot -= 2; left += 2; right -= 2
+    # a small separate blob with high probability
+    prob = mask * 0.6  # above the 0.5 fg threshold
+    prob[14:17, 14:17] = 0.0
+    mask[14:17, 14:17] = 0.0
+    prob[15, 15] = 0.95
+    mask[15, 15] = 1.0
+
+    num_iter = 8  # far below the spiral's geodesic diameter
+    labels, converged = connected_components(prob[None], num_iter,
+                                             return_converged=True)
+    assert not bool(converged)
+    lab = np.asarray(labels[0])
+
+    # kornia-style selection on the truncated labels
+    best_mean, best_lbl = -1.0, 0
+    for v in np.unique(lab):
+        if v == 0:
+            continue
+        sel = lab == v
+        m = prob[sel].mean()
+        if m > best_mean:
+            best_mean, best_lbl = m, v
+    expect = prob * (lab == best_lbl)
+
+    got = np.asarray(remove_all_but_one_connected_component(
+        prob[None], "highest_probability", num_iter))[0]
+    np.testing.assert_allclose(got, expect)

@@ -4,9 +4,12 @@ The mode that closes the perf gap must carry an accuracy contract: same
 weights, fp32 parity encoder vs the bf16 and int8-prequantized serving
 encoders, decoded to thresholded masks through the real prompt-encoder +
 mask-decoder stack.  Gates: per-class mask IoU and predicted-quality (SAM
-IoU head) drift.  The serving paths run the actual fused Pallas kernels
-under TPU force-interpret so this is the production code path, not a
-numerical stand-in.  Measured drift numbers are recorded in BENCHMARKS.md.
+IoU head) drift.  The int8 encoder runs the ``int8_xla`` route — the plain
+jnp mirror of the Pallas kernels' exact arithmetic (int32 dots, per-token
+round-to-nearest, poly GELU; kernel<->mirror equivalence is covered at the
+kernel level in tests/test_kernels.py) — because Mosaic force-interpret at
+vit_b scale blows the slow-tier budget.  Measured drift numbers are
+recorded in BENCHMARKS.md.
 """
 
 import dataclasses
@@ -30,8 +33,8 @@ def rng():
 
 def _small_vitb_cfg():
     """Real vit_b geometry (embed 768, depth 12, heads 12, window 14, four
-    global layers) at a reduced 448px input — every block type and kernel
-    shape class of the full model, at interpret-mode-viable cost."""
+    global layers) at a reduced 448px input — every block type and quant
+    shape class of the full model at CPU-viable cost."""
     cfg = sam_vit_b_config()
     enc = dataclasses.replace(cfg.image_encoder, img_size=448)
     pe = dataclasses.replace(cfg.prompt_encoder,
@@ -42,8 +45,6 @@ def _small_vitb_cfg():
 
 @pytest.mark.slow
 def test_int8_serving_mask_agreement_vit_b(rng):
-    from jax.experimental.pallas import tpu as pltpu
-
     from samcarriestheburden_tpu.models.quantize import prequantize_sam
 
     cfg = _small_vitb_cfg()
@@ -65,11 +66,9 @@ def test_int8_serving_mask_agreement_vit_b(rng):
                                    quantize=quantize)
 
     feats32 = np.asarray(encode(params, jnp.float32, False, None))
-
+    feats_bf16 = np.asarray(encode(params, jnp.bfloat16, False, None))
     pq = prequantize_sam(params, cfg)
-    with pltpu.force_tpu_interpret_mode():
-        feats_bf16 = np.asarray(encode(params, jnp.bfloat16, True, None))
-        feats_int8 = np.asarray(encode(pq, jnp.bfloat16, True, "int8"))
+    feats_int8 = np.asarray(encode(pq, jnp.bfloat16, True, "int8_xla"))
 
     # decode each through the real prompt/mask decoder with box prompts
     n_cls = 6
