@@ -244,6 +244,52 @@ def main():
     per_image = 1.0 / embed_per_sec + t_enhance
     value = 1.0 / per_image
 
+    # ---- BASELINE config 4: U-Net training step (VERDICT r2 #5) --------
+    # reference schedule shapes: batch 16, 384x224 grayscale, 17 classes,
+    # data_aug 0.03 (unet_training/hyper_params.py:9-14)
+    from samcarriestheburden_tpu.config import TrainConfig, UNetConfig
+    from samcarriestheburden_tpu.train.loop import UNetTrainer
+
+    tb = 2 if args.smoke else 16
+    thw = (48, 32) if args.smoke else UNET_INPUT_HW
+    tcfg = TrainConfig(batch_size=tb, data_aug=0.03,
+                       compute_dtype="float32" if args.smoke else "bfloat16")
+    trainer = UNetTrainer(UNetConfig(n_last_channel=tcfg.n_last_channel), tcfg)
+    x_all = jnp.asarray(rng.standard_normal((tb, 1) + thw), jnp.float32)
+    y_all = jnp.asarray(rng.integers(0, 2, (tb, N_CLASSES) + thw), jnp.uint8)
+    idx = jnp.arange(tb, dtype=jnp.int32)
+    wts = jnp.ones((tb,), jnp.float32)
+
+    def train_step(x, y):
+        p, o, loss, dice = trainer._train_step(
+            trainer.state.params, trainer.state.opt_state, x, y, idx, wts,
+            jax.random.PRNGKey(0), jnp.float32(tcfg.lr))
+        return loss
+    t_train = _time_it(train_step, x_all, y_all, iters=args.iters,
+                       warmup=2, inner=4)
+
+    # ---- BASELINE config 5: AMG device capacity (VERDICT r2 #5) --------
+    # the jitted decode+postprocess+stability leg of one points batch (64
+    # grid prompts, automatic_mask_generator.py:39-47), separated from host
+    # RLE/filtering and tunnel transfers: points/sec the CHIP can score
+    from samcarriestheburden_tpu.ops.mask_ops import calculate_stability_score
+
+    ppb = 8 if args.smoke else 64
+
+    def amg_batch(pts, feats):
+        sparse, dense = model.encode_prompts(points=(pts, jnp.ones(
+            pts.shape[:2], jnp.int32)))
+        low_res, iou = model.decode_masks(feats, model.get_dense_pe(),
+                                          sparse, dense, True)
+        masks = model.postprocess_masks(low_res, (size, size), (size, size))
+        stab = calculate_stability_score(masks, 0.0, 1.0)
+        return iou, stab, jnp.sum(masks > 0, axis=(-2, -1))
+
+    amg_pts = jnp.asarray(rng.uniform(0, size, (ppb, 1, 2)), jnp.float32)
+    t_amg = _time_it(amg_batch, amg_pts, features, iters=args.iters,
+                     warmup=2, inner=2)
+    amg_points_per_sec = ppb / t_amg
+
     # measured same-hardware anchor (VERDICT r2 #3): a cached run of
     # tools/bench_reference_cpu.py — reference torch encoder + sequential
     # decode protocol vs ours, SAME weights, SAME single CPU
@@ -271,6 +317,10 @@ def main():
             "embed_images_per_sec": round(embed_per_sec, 4),
             "refined_masks_per_sec": round(masks_per_sec, 2),
             "full_enhance_images_per_sec": round(1.0 / t_enhance, 2),
+            "train_ms_per_step": round(1e3 * t_train, 2),
+            "train_batch_hw": [tb, list(thw)],
+            "amg_device_points_per_sec": round(amg_points_per_sec, 1),
+            "amg_points_per_batch": ppb,
             "enhance_batch": eb,
             "seg_grid_hw": list(seg_hw),
             "encoder_batch": batch,
