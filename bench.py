@@ -68,9 +68,11 @@ def main():
                         choices=["vit_b", "vit_l", "vit_h"])
     parser.add_argument("--batch", type=int, default=4)
     parser.add_argument("--attention", choices=["xla", "pallas", "auto"], default="auto")
-    parser.add_argument("--quantize", choices=["int8"], default=None,
-                        help="opt-in dynamic-int8 encoder matmuls "
-                             "(kernels/quant.py); bf16 is the parity default")
+    parser.add_argument("--quantize", choices=["int8", "none"], default="int8",
+                        help="int8 encoder matmuls (kernels/quant.py) are the "
+                             "serving default — gated end-to-end by "
+                             "tests/test_quantize.py (mask IoU 0.993 vs fp32, "
+                             "est-Dice drift 5e-4); 'none' = bf16 parity mode")
     parser.add_argument("--enhance_batch", type=int, default=8,
                         help="images per refinement dispatch (matches the "
                              "sweep CLI's --img_batch; 1 = per-image)")
@@ -126,6 +128,8 @@ def main():
         from samcarriestheburden_tpu.models.image_encoder import attention_apply
 
         attention_impl = attention_apply
+    if args.quantize == "none":
+        args.quantize = None
     quantize = None if args.smoke else args.quantize
     encode = make_encode_batch(model, dtype=dtype, attention_impl=attention_impl,
                                quantize=quantize)

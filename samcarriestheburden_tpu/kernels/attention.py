@@ -395,6 +395,255 @@ def fused_rel_attention_headmajor_global(qkv: jnp.ndarray, rel_h: jnp.ndarray,
     )(qkv, qkv, rel_h, rel_w)
 
 
+# ---------------------------------------------------------------------------
+# v4: 3-D windowed attention with IN-KERNEL rel-pos projection.
+#
+# Round-3 traces showed the v3 path paying ~13 ms/img in pure HBM layout work
+# around the kernel: the (T, heads·P) -> (Wb, 196, heads·P) reshape is a full
+# copy (196 rows break the (8, 128) tile grid, so the 3-D form is physically
+# padded), and the out-of-kernel rel projection materialises
+# (heads, Wb, N, 14) fp32 tensors whose 14-lane minor pads 9x in HBM.  Fix:
+# * windows carry ``np = ceil(ws²/8)·8`` tokens (200 for ws=14) so the 2-D
+#   and 3-D views share one layout — every outside reshape is free; the
+#   np - n dead key slots are masked with -1e30 logits in-kernel;
+# * the rel-pos projection g = q·T runs in-kernel on the VMEM-resident q
+#   (tables are (hd, 2ws-1) — tiny), and the per-query-row table select
+#   rel[row, j] = g[row, p(row) + j] becomes ``ws`` static masked lane-rolls
+#   (the row's window-row p selects a CONTIGUOUS lane slice; the k-index
+#   flip j -> ws-1-j is absorbed into the one-hot expansion columns).
+# Nothing rel-pos-shaped ever touches HBM.
+# ---------------------------------------------------------------------------
+
+
+def _attn_kernel_window3d(qkv_ref, tcat_ref, o_ref, *, scale: float, ws: int,
+                          np_: int, hd: int):
+    n = ws * ws
+    inv = 1.0 / scale
+
+    qkv = qkv_ref[:]                   # (g, np, P) one head's columns
+    q = qkv[:, :, :hd]
+    k = qkv[:, :, hd:2 * hd]
+    v = qkv[:, :, 2 * hd:3 * hd]
+    dt = qkv.dtype
+    g = q.shape[0]
+
+    # g[row, r] = q[row] · table[r]; h-table rows live in lanes [0, 2ws-1),
+    # w-table rows in [128, 128 + 2ws-1) — both slice lane-aligned after roll
+    gcat = jax.lax.dot_general(q, tcat_ref[:], (((2,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+    # rel_rev[row, j] = g[row, base(row) + j] where base is the query's
+    # window-row (h part) / window-col (w part).  Per-row variable lane shift
+    # via LOG-STEP conditional rolls: ceil(log2 ws) rolls per zone instead of
+    # ws masked rolls (VPU work is the kernel's only non-MXU cost).  fp32 —
+    # Mosaic's lane rotate only supports 32-bit elements.
+    gs = gcat * inv
+    row = jax.lax.broadcasted_iota(jnp.int32, (1, np_, 1), 1)
+    p_of = jnp.minimum(row // ws, ws - 1)       # dead rows: clamp, masked later
+    q_of = row % ws
+    gh = gs[:, :, :128]                          # 128-aligned free slices
+    gw = gs[:, :, 128:]
+    b = 1
+    while b < ws:
+        gh = jnp.where((p_of & b) != 0, pltpu.roll(gh, shift=128 - b, axis=2),
+                       gh)
+        gw = jnp.where((q_of & b) != 0, pltpu.roll(gw, shift=128 - b, axis=2),
+                       gw)
+        b <<= 1
+    relh = gh[:, :, :ws].astype(dt)
+    relw = gw[:, :, :ws].astype(dt)
+
+    # lane j of rel_rev corresponds to k-coordinate ws-1-j (see header)
+    key = jax.lax.broadcasted_iota(jnp.int32, (np_, ws), 0)
+    ehT = (key // ws == ws - 1 - jax.lax.broadcasted_iota(
+        jnp.int32, (np_, ws), 1))
+    ewT = (key % ws == ws - 1 - jax.lax.broadcasted_iota(
+        jnp.int32, (np_, ws), 1))
+    ewT = jnp.logical_and(ewT, key < n)          # dead slots expand to 0
+
+    qcat = jnp.concatenate([q, relh, relw], axis=2)
+    ecat = jnp.broadcast_to(
+        jnp.concatenate([ehT.astype(dt), ewT.astype(dt)], axis=1)[None],
+        (g, np_, 2 * ws))
+    kcat = jnp.concatenate([k, ecat], axis=2)
+    logits = jax.lax.dot_general(
+        qcat, kcat, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale          # (g, np, np)
+
+    if np_ != n:                                  # dead keys: -inf logits
+        dead = jax.lax.broadcasted_iota(jnp.int32, (1, 1, np_), 2) >= n
+        logits = logits + jnp.where(dead, -1e30, 0.0)
+
+    logits = logits - jnp.max(logits, axis=-1, keepdims=True)
+    probs = jnp.exp(logits)
+    probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+
+    out = jax.lax.dot_general(
+        probs.astype(dt), v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("ws", "heads", "hd", "g_block",
+                                   "interpret"))
+def fused_rel_attention_window3d(qkv: jnp.ndarray, tcat: jnp.ndarray, *,
+                                 ws: int, heads: int, hd: int,
+                                 g_block: Optional[int] = None,
+                                 interpret: bool = False) -> jnp.ndarray:
+    """qkv: (Wb, np, heads·P) head-grouped projections over np = ceil(ws²/8)·8
+    padded window tokens; tcat: (hd, 256) rel tables (h rows at lanes
+    [0, 2ws-1), w rows at [128, 128+2ws-1)) -> (heads, Wb, np, hd)."""
+    wb, np_, hp = qkv.shape
+    n = ws * ws
+    assert np_ == -(-n // 8) * 8, (np_, ws)
+    p = hp // heads
+    assert p == _headmajor_pad(hd), (p, hd)
+    assert tcat.shape == (hd, 256) and 2 * (2 * ws - 1) <= 256
+    scale = hd ** -0.5
+    if g_block is None:
+        g_block = 25
+    while wb % g_block:
+        g_block -= 1
+    grid = (wb // g_block, heads)
+    kernel = partial(_attn_kernel_window3d, scale=scale, ws=ws, np_=np_,
+                     hd=hd)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((g_block, np_, p), lambda i, h: (i, 0, h)),
+            pl.BlockSpec((hd, 256), lambda i, h: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, g_block, np_, hd),
+                               lambda i, h: (h, i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((heads, wb, np_, hd), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * wb * heads * np_ * (hd * 256 + np_ * (hd + 2 * ws)
+                                          + np_ * hd),
+            transcendentals=wb * heads * np_ * np_,
+            bytes_accessed=2 * qkv.size * qkv.dtype.itemsize),
+        interpret=interpret,
+    )(qkv, tcat)
+
+
+def _attn_kernel_global3d(qq_ref, kv_ref, tcat_ref, o_ref, *,
+                          scale: float, kh: int, kw: int, hd: int,
+                          q_block: int):
+    """Global-layer q-blocked body with IN-KERNEL rel-pos (window3d design;
+    the q-block's token offset comes from the grid position)."""
+    n = kh * kw
+    inv = 1.0 / scale
+
+    q = qq_ref[0][:, :hd]                       # (qb, hd)
+    kv = kv_ref[0]                              # (n, P)
+    k = kv[:, hd:2 * hd]
+    v = kv[:, 2 * hd:3 * hd]
+    dt = q.dtype
+
+    gcat = jax.lax.dot_general(q, tcat_ref[:], (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    gs = gcat * inv
+    tok = (pl.program_id(1) * q_block
+           + jax.lax.broadcasted_iota(jnp.int32, (q_block, 1), 0))
+    p_of = tok // kw
+    q_of = tok % kw
+    gh = gs[:, :128]
+    gw = gs[:, 128:]
+    b = 1
+    while b < max(kh, kw):
+        if b < kh:
+            gh = jnp.where((p_of & b) != 0,
+                           pltpu.roll(gh, shift=128 - b, axis=1), gh)
+        if b < kw:
+            gw = jnp.where((q_of & b) != 0,
+                           pltpu.roll(gw, shift=128 - b, axis=1), gw)
+        b <<= 1
+    relh = gh[:, :kh].astype(dt)
+    relw = gw[:, :kw].astype(dt)
+
+    key = jax.lax.broadcasted_iota(jnp.int32, (n, kh), 0)
+    ehT = (key // kw == kh - 1 - jax.lax.broadcasted_iota(
+        jnp.int32, (n, kh), 1))
+    key = jax.lax.broadcasted_iota(jnp.int32, (n, kw), 0)
+    ewT = (key % kw == kw - 1 - jax.lax.broadcasted_iota(
+        jnp.int32, (n, kw), 1))
+
+    qcat = jnp.concatenate([q, relh, relw], axis=1)
+    kcat = jnp.concatenate([k, ehT.astype(dt), ewT.astype(dt)], axis=1)
+    logits = jax.lax.dot_general(
+        qcat, kcat, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale          # (qb, n)
+
+    logits = logits - jnp.max(logits, axis=-1, keepdims=True)
+    probs = jnp.exp(logits)
+    probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+
+    out = jax.lax.dot_general(
+        probs.astype(dt), v, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[0, 0] = out.astype(o_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("kh", "kw", "heads", "hd", "q_block",
+                                   "interpret"))
+def fused_rel_attention_global3d(qkv: jnp.ndarray, tcat: jnp.ndarray, *,
+                                 kh: int, kw: int, heads: int, hd: int,
+                                 q_block: int = 1024,
+                                 interpret: bool = False) -> jnp.ndarray:
+    """Global-layer analogue of :func:`fused_rel_attention_window3d` —
+    qkv: (B, N, heads·P); tcat: (hd, 256) packed rel tables (kh rows must be
+    ≤ 65 so 2·kh-1 ≤ 128+1... h zone holds 2·kh-1 ≤ 128 rows, w zone 2·kw-1)
+    -> (heads, B, N, hd)."""
+    b, n, hp = qkv.shape
+    assert n == kh * kw and 2 * max(kh, kw) - 1 <= 128
+    p = hp // heads
+    assert p == _headmajor_pad(hd), (p, hd)
+    scale = hd ** -0.5
+    q_block = min(q_block, n)
+    grid = (b, n // q_block, heads)
+    kernel = partial(_attn_kernel_global3d, scale=scale, kh=kh, kw=kw, hd=hd,
+                     q_block=q_block)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, q_block, p), lambda i, j, h: (i, j, h)),
+            pl.BlockSpec((1, n, p), lambda i, j, h: (i, 0, h)),
+            pl.BlockSpec((hd, 256), lambda i, j, h: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, q_block, hd),
+                               lambda i, j, h: (h, i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((heads, b, n, hd), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * heads * n * n * (hd + kh + kw) * 2,
+            transcendentals=b * heads * n * n,
+            bytes_accessed=2 * qkv.size * qkv.dtype.itemsize),
+        interpret=interpret,
+    )(qkv, qkv, tcat)
+
+
+def prepare_rel_tables_window3d(p_attn: dict, ws: int, dtype) -> jnp.ndarray:
+    """(hd, 256) packed rel-pos tables for the window3d kernel: tcat[c, r] =
+    rel_pos_h[r, c] for r < 2ws-1, tcat[c, 128+r] = rel_pos_w[r, c]."""
+    from samcarriestheburden_tpu.models.image_encoder import \
+        resize_rel_pos_table
+
+    rmax = 2 * ws - 1
+    th = resize_rel_pos_table(p_attn["rel_pos_h"], rmax).T    # (hd, R)
+    tw = resize_rel_pos_table(p_attn["rel_pos_w"], rmax).T
+    hd = th.shape[0]
+    tcat = jnp.zeros((hd, 256), jnp.float32)
+    tcat = tcat.at[:, :rmax].set(th)
+    tcat = tcat.at[:, 128:128 + rmax].set(tw)
+    return tcat.astype(dtype)
+
+
 def attention_apply_pallas(p: dict, x: jnp.ndarray, num_heads: int,
                            use_rel_pos: bool, *, interpret: bool = False,
                            qkv_pre: Optional[jnp.ndarray] = None) -> jnp.ndarray:

@@ -95,6 +95,35 @@ def window_partition(x: jnp.ndarray, window_size: int) -> Tuple[jnp.ndarray, Tup
     return windows, (hp, wp)
 
 
+def window_partition_flat(x: jnp.ndarray, window_size: int
+                          ) -> Tuple[jnp.ndarray, Tuple[int, int]]:
+    """(B, H, W, C) -> (B·nW, np, C) flat windows, np = ws² rounded up to 8.
+
+    The 8-multiple token count keeps the 3-D window view and the flat
+    (B·nW·np, C) token view PHYSICALLY identical ((8, 128) tiling), so every
+    reshape between the window-batched attention kernel and the flat-token
+    qkv/MLP kernels is layout-free — the (wb, ws, ws, C) carry of the v3 path
+    paid a full HBM copy per reshape (traced round 3, ~10 ms/img on ViT-H).
+    Dead slots are zero; the attention kernel masks them with -1e30 logits."""
+    windows, pad_hw = window_partition(x, window_size)
+    wb = windows.shape[0]
+    n = window_size * window_size
+    np_ = -(-n // 8) * 8
+    flat = windows.reshape(wb, n, x.shape[-1])
+    if np_ != n:
+        flat = jnp.pad(flat, ((0, 0), (0, np_ - n), (0, 0)))
+    return flat, pad_hw
+
+
+def window_unpartition_flat(flat: jnp.ndarray, window_size: int,
+                            pad_hw: Tuple[int, int],
+                            hw: Tuple[int, int]) -> jnp.ndarray:
+    n = window_size * window_size
+    windows = flat[:, :n, :].reshape(-1, window_size, window_size,
+                                     flat.shape[-1])
+    return window_unpartition(windows, window_size, pad_hw, hw)
+
+
 def window_unpartition(windows: jnp.ndarray, window_size: int,
                        pad_hw: Tuple[int, int], hw: Tuple[int, int]) -> jnp.ndarray:
     hp, wp = pad_hw
@@ -253,9 +282,11 @@ def _global_attention_headmajor(p: dict, x: jnp.ndarray,
                                 interpret: bool = False,
                                 quantize: str = None) -> jnp.ndarray:
     """Transpose-free global-layer attention (see
-    :func:`_windowed_attention_headmajor`; q-blocked kernel variant)."""
-    from samcarriestheburden_tpu.kernels.attention import \
-        fused_rel_attention_headmajor_global
+    :func:`_windowed_attention_headmajor`; q-blocked kernel variant with
+    in-kernel rel-pos — the v3 out-of-kernel rel path cost ~2 ms/img in
+    einsum/select/copy glue for the 4 ViT-H global layers, traced round 3)."""
+    from samcarriestheburden_tpu.kernels.attention import (
+        fused_rel_attention_global3d, prepare_rel_tables_window3d)
 
     b, gh, gw, e = x.shape
     n = gh * gw
@@ -268,16 +299,17 @@ def _global_attention_headmajor(p: dict, x: jnp.ndarray,
                   cfg.layer_norm_eps, quantize, interpret)
 
     pad = wq.shape[1] // heads
-    rel_h, rel_w = _rel_bias_headmajor(qkv, p["attn"], heads=heads, pad=pad,
-                                       hd=hd, b=b, gh=gh, gw=gw, dtype=x.dtype)
-
     if quantize == "int8_xla":
+        rel_h, rel_w = _rel_bias_headmajor(qkv, p["attn"], heads=heads,
+                                           pad=pad, hd=hd, b=b, gh=gh, gw=gw,
+                                           dtype=x.dtype)
         out = _headmajor_attention_xla(qkv.reshape(b, n, heads * pad),
                                        rel_h, rel_w, heads=heads, hd=hd,
                                        kh=gh, kw=gw)
     else:
-        out = fused_rel_attention_headmajor_global(
-            qkv.reshape(b, n, heads * pad), rel_h, rel_w,
+        tcat = prepare_rel_tables_window3d(p["attn"], gh, x.dtype)
+        out = fused_rel_attention_global3d(
+            qkv.reshape(b, n, heads * pad), tcat,
             kh=gh, kw=gw, heads=heads, hd=hd, interpret=interpret)
 
     proj = p["attn"]["proj"]
@@ -438,6 +470,53 @@ def _windowed_attention_headmajor(p: dict, xw: jnp.ndarray,
     return a.reshape(wb, ws, ws, e).astype(xw.dtype)
 
 
+def _windowed_attention_headmajor3d(p: dict, x3: jnp.ndarray,
+                                    pad3: jnp.ndarray,
+                                    cfg: ImageEncoderConfig,
+                                    interpret: bool = False,
+                                    quantize: str = None) -> jnp.ndarray:
+    """v4 windowed attention over flat (Wb, np, E) windows: the rel-pos
+    projection AND table select run inside the kernel
+    (kernels.attention.fused_rel_attention_window3d), so no rel-shaped or
+    window-reshaped tensor ever round-trips HBM (v3 paid ~13 ms/img there)."""
+    from samcarriestheburden_tpu.kernels.attention import (
+        fused_rel_attention_window3d, prepare_rel_tables_window3d)
+
+    wb, np_, e = x3.shape
+    ws = cfg.window_size
+    heads = cfg.num_heads
+    hd = e // heads
+    t = wb * np_
+    wq, sq, bq = _qkv_pack(p["attn"], heads, x3.dtype, quantize)
+    qkv = _ln_qkv(x3.reshape(t, e), pad3.reshape(t, 1), p["norm1"],
+                  wq, sq, bq, cfg.layer_norm_eps, quantize, interpret)
+
+    pad = wq.shape[1] // heads
+    tcat = prepare_rel_tables_window3d(p["attn"], ws, x3.dtype)
+    out = fused_rel_attention_window3d(
+        qkv.reshape(wb, np_, heads * pad), tcat, ws=ws, heads=heads, hd=hd,
+        interpret=interpret)                                # (h, wb, np, hd)
+
+    proj = p["attn"]["proj"]
+    wp = proj["w"].reshape(heads, hd, e).astype(x3.dtype)
+    a = jax.lax.dot_general(out.reshape(heads, t, hd), wp,
+                            (((0, 2), (0, 1)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    if "b" in proj:
+        a = a + proj["b"].astype(jnp.float32)
+    return a.reshape(wb, np_, e).astype(x3.dtype)
+
+
+def _block_apply_windowed3d(p: dict, x3: jnp.ndarray, pad3: jnp.ndarray,
+                            cfg: ImageEncoderConfig, fused_mlp: bool,
+                            quantize: str = None) -> jnp.ndarray:
+    """Windowed block over flat (Wb, np, E) windows (see
+    :func:`window_partition_flat`); numerically ≡ _block_apply_windowed on
+    the live n = ws² slots (dead slots carry junk, masked at unpartition)."""
+    a = _windowed_attention_headmajor3d(p, x3, pad3, cfg, quantize=quantize)
+    return _mlp_residual(p, x3, cfg, fused_mlp, add=a, quantize=quantize)
+
+
 def _headmajor_attention_xla(qkv: jnp.ndarray, rel_h: jnp.ndarray,
                              rel_w: jnp.ndarray, *, heads: int, hd: int,
                              kh: int, kw: int) -> jnp.ndarray:
@@ -526,8 +605,20 @@ def apply(params: dict, cfg: ImageEncoderConfig, x: jnp.ndarray, *,
         ws = cfg.window_size
         pad_valid = _pad_valid_mask(b, h, w, ws, x.dtype)
         pad_hw = None
+        # v4 flat-window path: reshape-free carry + in-kernel rel-pos
+        flat3d = fused_qkv and quantize != "int8_xla" \
+            and not fused_window_blocks
+        if flat3d:
+            n = ws * ws
+            np_ = -(-n // 8) * 8
+            pad_flat = pad_valid.reshape(-1, n, 1)
+            if np_ != n:
+                pad_flat = jnp.pad(pad_flat, ((0, 0), (0, np_ - n), (0, 0)))
 
         def one_windowed(blk, xw):
+            if flat3d:
+                return _block_apply_windowed3d(blk, xw, pad_flat, cfg,
+                                               fused_mlp, quantize)
             if fused_window_blocks:
                 return _block_apply_windowed_fused(blk, xw, pad_valid, cfg)
             return _block_apply_windowed(blk, xw, pad_valid, cfg,
@@ -558,9 +649,14 @@ def apply(params: dict, cfg: ImageEncoderConfig, x: jnp.ndarray, *,
         while i <= n_blocks:
             is_global = i < n_blocks and i in cfg.global_attn_indexes
             if (i == n_blocks or is_global) and run:
-                x, pad_hw = window_partition(x, ws)
-                x = run_windowed(run, x)
-                x = window_unpartition(x, ws, pad_hw, (h, w))
+                if flat3d:
+                    x, pad_hw = window_partition_flat(x, ws)
+                    x = run_windowed(run, x)
+                    x = window_unpartition_flat(x, ws, pad_hw, (h, w))
+                else:
+                    x, pad_hw = window_partition(x, ws)
+                    x = run_windowed(run, x)
+                    x = window_unpartition(x, ws, pad_hw, (h, w))
                 run = []
             if i == n_blocks:
                 break
