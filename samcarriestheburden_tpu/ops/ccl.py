@@ -126,71 +126,81 @@ def connected_components(mask: jnp.ndarray, num_iterations: int,
 @partial(jax.jit, static_argnames=("selection", "num_iter", "max_components"))
 def remove_all_but_one_connected_component(prob_mask: jnp.ndarray, selection: str,
                                            num_iter: int,
-                                           max_components: int = 512) -> jnp.ndarray:
+                                           max_components: int = 128) -> jnp.ndarray:
     """Keep one connected component per class of a (C, H, W) probability mask.
 
     ``selection``: 'largest' (by pixel area) or 'highest_probability' (by mean
     probability).  Returns the probability mask zeroed outside the winning
     component, like the reference (segmentation_preprocessing.py:50-51
     ``refined_mask *= prob_mask``).  Empty classes stay empty.
+    ``max_components`` is retained for API compatibility and ignored — the
+    selection below is exact for any component count.
 
-    Winner selection is scatter-free (TPU scatters serialise: the former
-    per-pixel-id ``segment_sum`` histogram cost 2x12.7 ms per image on v5e —
-    half the whole refinement pipeline).  A pixel is its component's ROOT iff
-    its propagated label equals its own initial index, so the component count
-    is exact and small; ``top_k`` collects up to ``max_components`` candidate
-    root labels and the per-candidate area/probability-mass reduce is one
-    broadcast compare + sum.  Classes with more than ``max_components``
-    connected components (physically impossible for U-Net bone masks; raise
-    the bound if ever needed) would silently ignore the lowest-indexed ones.
-
-    Root detection assumes the propagation REACHED its fixpoint.  When it
-    hits the iteration cap unconverged (spiral shapes with geodesic diameter
-    > num_iter — kornia, which the reference uses, truncates identically),
-    stale intermediate labels exist whose origin pixel was overwritten, and
-    the reference's segment-histogram semantics differ from roots.  That
-    case switches (``lax.cond``, so the fast path pays nothing) to an exact
-    sort-based unique over the final label map — the same candidates a
-    histogram of the truncated labelling sees.
+    Winner selection is scatter-free (TPU scatters serialise: a per-pixel-id
+    ``segment_sum`` histogram costs 2x12.7 ms per image on v5e) and
+    branch-free: sort pixels by final label (one 2-operand ``lax.sort``),
+    then per-component area/probability-mass are segmented
+    ``associative_scan``s over the label-contiguous runs.  This is literally
+    a histogram over the FINAL label map, so it matches the reference's
+    (kornia + torch.unique) semantics even when propagation hit the
+    iteration cap unconverged (spiral shapes with geodesic diameter >
+    num_iter — kornia truncates identically).
     """
     assert prob_mask.ndim == 3, "segmentation_mask should be 3D tensor of shape (C, H, W)"
     if selection not in ("largest", "highest_probability"):
         raise NotImplementedError(f"Invalid selection: {selection}")
     c, h, w = prob_mask.shape
-    labels, converged = connected_components(
-        prob_mask.astype(jnp.float32), num_iter, return_converged=True)
-    k = min(max_components, h * w)
+    labels = connected_components(prob_mask.astype(jnp.float32), num_iter)
 
-    def cand_roots(flat_lbl):
-        init = jnp.arange(h * w, dtype=jnp.int32) + 1
-        roots = jnp.where(flat_lbl == init, flat_lbl, 0)     # 0 = not a root
-        cand, _ = jax.lax.top_k(roots, k)                     # (K,) labels
-        return cand
+    # Per-component statistics by SORT + SEGMENTED SCAN (one 2-operand sort
+    # keyed by label, then associative scans over the label-contiguous runs).
+    # Exact for ANY component count and for truncated (unconverged) label
+    # maps — it is literally a histogram over the final labels, the
+    # reference's (kornia + torch.unique) semantics.  Replaces the former
+    # top_k-candidates + (K, HW) membership-matmul selection, whose K-bound
+    # silently dropped components and whose (K, HW) hit matrix moved ~170 MB
+    # of HBM per class (round-2 ADVICE + round-3 trace).
+    flat_lbl = labels.reshape(c, -1)
+    flat_prob = prob_mask.astype(jnp.float32).reshape(c, -1)
+    s_lbl, s_prob = jax.lax.sort((flat_lbl, flat_prob), dimension=-1,
+                                 num_keys=1)
+    first = jnp.concatenate(
+        [jnp.ones((c, 1), bool), s_lbl[:, 1:] != s_lbl[:, :-1]], axis=1)
 
-    def cand_unique(flat_lbl):
-        s = jnp.sort(flat_lbl)                                # ascending
-        first = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
-        cand, _ = jax.lax.top_k(jnp.where(first, s, 0), k)
-        return cand
+    def seg_cumsum(vals):
+        def op(a, b):
+            av, af = a
+            bv, bf = b
+            return jnp.where(bf, bv, av + bv), af | bf
 
-    def select(cand_fn):
-        def per_class(lbl, prob):
-            flat_lbl = lbl.reshape(-1)
-            flat_prob = prob.reshape(-1)
-            cand = cand_fn(flat_lbl)
-            hit = (flat_lbl[None, :] == cand[:, None]) & (cand[:, None] > 0)
-            hit = hit.astype(jnp.float32)                     # (K, HW)
-            areas = jnp.sum(hit, axis=1)
-            if selection == "largest":
-                metric = areas
-            else:
-                sums = hit @ flat_prob
-                metric = sums / jnp.maximum(areas, 1.0)
-            metric = jnp.where((cand > 0) & (areas > 0), metric, -jnp.inf)
-            winner = cand[jnp.argmax(metric)]
-            keep = (lbl == winner) & (lbl > 0)
-            return keep.astype(prob.dtype) * prob
+        out, _ = jax.lax.associative_scan(op, (vals, first), axis=1)
+        return out
 
-        return lambda: jax.vmap(per_class)(labels, prob_mask)
+    def run_total(prefix):
+        # within-run prefix values are non-decreasing (non-negative terms),
+        # so a REVERSED segmented cummax propagates each run's total (its
+        # last prefix value) back to every member position
+        rev = prefix[:, ::-1]
+        rev_first = jnp.concatenate(
+            [jnp.ones((c, 1), bool), first[:, :0:-1]], axis=1)
 
-    return jax.lax.cond(converged, select(cand_roots), select(cand_unique))
+        def op(a, b):
+            av, af = a
+            bv, bf = b
+            return jnp.where(bf, bv, jnp.maximum(av, bv)), af | bf
+
+        out, _ = jax.lax.associative_scan(op, (rev, rev_first), axis=1)
+        return out[:, ::-1]
+
+    areas = run_total(seg_cumsum(jnp.ones_like(s_prob)))
+    if selection == "largest":
+        metric = areas
+    else:
+        sums = run_total(seg_cumsum(s_prob))
+        metric = sums / jnp.maximum(areas, 1.0)
+    metric = jnp.where(s_lbl > 0, metric, -jnp.inf)
+    win_pos = jnp.argmax(metric, axis=1)
+    winner = jnp.take_along_axis(s_lbl, win_pos[:, None], axis=1)  # (C, 1)
+    keep = (flat_lbl == winner) & (flat_lbl > 0)
+    return (keep.astype(prob_mask.dtype) * prob_mask.reshape(c, -1)
+            ).reshape(c, h, w)

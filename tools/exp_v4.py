@@ -19,7 +19,8 @@ def main():
         prequantize_image_encoder
 
     which = sys.argv[1:] or ["bf16"]
-    B = 4
+    B = int(next((a[2:] for a in which if a.startswith("b=")), 4))
+    which = [a for a in which if not a.startswith("b=")]
     cfg = _config.sam_vit_h_config().image_encoder
     shapes = jax.eval_shape(lambda k: image_encoder.init(k, cfg),
                             jax.random.PRNGKey(0))
