@@ -45,6 +45,62 @@ def init(key, cfg: MaskDecoderConfig) -> dict:
     }
 
 
+def _upscale_hyper_preshuffle(up: dict, src_out: jnp.ndarray,
+                              hyper_in: jnp.ndarray, b: int, h: int, w: int,
+                              c: int, nt: int) -> jnp.ndarray:
+    """``masks = hyper · gelu(convT2(gelu(LN(convT1(src)))))`` with both 2x2
+    stride-2 ConvTranspose2d ops evaluated as matmuls in PRE-SHUFFLE lane
+    layout; the pixel shuffles happen once, at the end, on the small masks
+    tensor.  Lane orders: after step 1, (g1=(dy1,dx1), c4) groups of C//4;
+    after step 2, (g1, g2=(dy2,dx2), c8) groups of C//8.  Output pixel
+    (4h+2·dy1+dy2, 4w+2·dx1+dx2) — reference upscaling semantics exactly
+    (mask_decoder.py:53-59,137-148)."""
+    dt = src_out.dtype
+    c4, c8 = c // 4, c // 8
+    rows = b * h * w
+    x2 = src_out.reshape(rows, c)
+
+    # convT1 -> (rows, 4·c4): W1r[ci, g1·c4 + o] = W1[dy1, dx1, ci, o]
+    w1 = up["up1"]["w"].astype(dt)                       # (2, 2, C, C//4)
+    w1r = jnp.transpose(w1, (2, 0, 1, 3)).reshape(c, 4 * c4)
+    y = x2 @ w1r
+    if "b" in up["up1"]:
+        y = y + jnp.tile(up["up1"]["b"].astype(dt), 4)
+
+    # LayerNorm2d + GELU per g1 group (each group IS one output pixel)
+    y4 = y.reshape(rows, 4, c4).astype(jnp.float32)
+    mean = jnp.mean(y4, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(y4 - mean), axis=-1, keepdims=True)
+    yn = (y4 - mean) * jax.lax.rsqrt(var + 1e-6)
+    yn = yn * up["ln"]["scale"].astype(jnp.float32) \
+        + up["ln"]["bias"].astype(jnp.float32)
+    y = gelu(yn).reshape(rows, 4 * c4).astype(dt)
+
+    # convT2 as ONE block-diagonal matmul: (rows, 4·c4) @ (4·c4, 16·c8)
+    w2 = up["up2"]["w"].astype(dt)                       # (2, 2, C//4, C//8)
+    w2r = jnp.transpose(w2, (2, 0, 1, 3)).reshape(c4, 4 * c8)
+    w2big = jnp.kron(jnp.eye(4, dtype=dt), w2r)          # (4·c4, 16·c8)
+    z = y @ w2big
+    if "b" in up["up2"]:
+        z = z + jnp.tile(up["up2"]["b"].astype(dt), 16)
+    z = gelu(z)                                          # (rows, 16·c8)
+
+    # hypernetwork contraction, block-diagonal over the 16 (g1, g2) groups:
+    # HypBig[b, g·c8 + o, g·nt + t] = hyper_in[b, t, o]
+    hyp = jnp.transpose(hyper_in.astype(dt), (0, 2, 1))  # (B, c8, nt)
+    hypbig = jnp.einsum("gh,bot->bgoht", jnp.eye(16, dtype=dt), hyp,
+                        preferred_element_type=dt).reshape(b, 16 * c8, 16 * nt)
+    masks = jax.lax.dot_general(
+        z.reshape(b, h * w, 16 * c8), hypbig,
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)              # (B, hw, 16·nt)
+
+    # the deferred double pixel shuffle, one transpose on the masks tensor
+    m = masks.reshape(b, h, w, 2, 2, 2, 2, nt)           # (dy1,dx1,dy2,dx2,t)
+    m = jnp.transpose(m, (0, 7, 1, 3, 5, 2, 4, 6))       # b,t,h,dy1,dy2,w,dx1,dx2
+    return m.reshape(b, nt, 4 * h, 4 * w)
+
+
 def predict_masks(params: dict, cfg: MaskDecoderConfig,
                   image_embeddings: jnp.ndarray, image_pe: jnp.ndarray,
                   sparse_prompt_embeddings: jnp.ndarray,
@@ -83,31 +139,37 @@ def predict_masks(params: dict, cfg: MaskDecoderConfig,
     iou_token_out = hs[:, 0, :]
     mask_tokens_out = hs[:, 1:1 + nt, :]
 
-    # upscale image features 4x (reference :53-59,137-138); NHWC internally
-    x = src_out.reshape(b, h, w, c)
-    up = params["output_upscaling"]
-    x = conv2d_transpose(up["up1"], x, (2, 2))
-    # (fast_gelu's fp32 polynomial was tried here for the bf16 path; its
-    # upcast doubles traffic on the ~0.5 GB upscale tensor and measured
-    # slower than the erfc lowering — keep plain gelu in both modes)
-    x = gelu(layer_norm_2d(up["ln"], x))
-    x = gelu(conv2d_transpose(up["up2"], x, (2, 2)))
-    upscaled = x  # (B, 4H, 4W, C//8)
-
     # hypernetworks: vmap over the stacked token axis (reference loop :139-142)
     hyper_in = jax.vmap(lambda p, t: mlp(p, t), in_axes=(0, 1), out_axes=1)(
         params["output_hypernetworks_mlps"], mask_tokens_out)  # (B, nt, C//8)
 
-    # batched matmul over the flattened pixel axis: XLA lowers the einsum
-    # form with t=4 to a broadcast-mul + reduce (a 1 GB fp32 intermediate,
-    # ~40 ms per batched-refinement dispatch on v5e); the explicit
-    # dot_general stays on the MXU
-    hw4 = upscaled.shape[1] * upscaled.shape[2]
-    masks = jax.lax.dot_general(
-        hyper_in, upscaled.reshape(b, hw4, upscaled.shape[3]),
-        (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)          # (B, nt, 4H*4W)
-    masks = masks.reshape(b, nt, upscaled.shape[1], upscaled.shape[2])
+    up = params["output_upscaling"]
+    if up["up1"]["w"].shape[:2] == (2, 2) and up["up2"]["w"].shape[:2] == (2, 2):
+        # PRE-SHUFFLE matmul form of the 4x upscale + hypernetwork tail
+        # (kernel == stride, so each ConvTranspose2d is a per-pixel matmul
+        # followed by a 2x2 pixel shuffle).  Deferring BOTH shuffles to one
+        # final transpose keeps every tensor's minor dims 128-aligned —
+        # the shuffled (B, 4H, 4W, 32) form is 4x lane-padded in HBM — and
+        # turns the hypernetwork contraction (K=32, M=nt: ~1% MXU
+        # utilisation as a plain dot, 2.3 ms/img traced round 3) into a
+        # block-diagonal matmul XLA can tile.  Numerically the same graph.
+        masks = _upscale_hyper_preshuffle(up, src_out, hyper_in, b, h, w, c,
+                                          nt)
+    else:
+        x = src_out.reshape(b, h, w, c)
+        x = conv2d_transpose(up["up1"], x, (2, 2))
+        # (fast_gelu's fp32 polynomial was tried here for the bf16 path; its
+        # upcast doubles traffic on the ~0.5 GB upscale tensor and measured
+        # slower than the erfc lowering — keep plain gelu in both modes)
+        x = gelu(layer_norm_2d(up["ln"], x))
+        x = gelu(conv2d_transpose(up["up2"], x, (2, 2)))
+        upscaled = x  # (B, 4H, 4W, C//8)
+        hw4 = upscaled.shape[1] * upscaled.shape[2]
+        masks = jax.lax.dot_general(
+            hyper_in, upscaled.reshape(b, hw4, upscaled.shape[3]),
+            (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)      # (B, nt, 4H*4W)
+        masks = masks.reshape(b, nt, upscaled.shape[1], upscaled.shape[2])
     iou_pred = mlp(params["iou_prediction_head"], iou_token_out)
     return masks.astype(jnp.float32), iou_pred.astype(jnp.float32)
 

@@ -133,74 +133,53 @@ def remove_all_but_one_connected_component(prob_mask: jnp.ndarray, selection: st
     probability).  Returns the probability mask zeroed outside the winning
     component, like the reference (segmentation_preprocessing.py:50-51
     ``refined_mask *= prob_mask``).  Empty classes stay empty.
-    ``max_components`` is retained for API compatibility and ignored — the
-    selection below is exact for any component count.
 
     Winner selection is scatter-free (TPU scatters serialise: a per-pixel-id
-    ``segment_sum`` histogram costs 2x12.7 ms per image on v5e) and
-    branch-free: sort pixels by final label (one 2-operand ``lax.sort``),
-    then per-component area/probability-mass are segmented
-    ``associative_scan``s over the label-contiguous runs.  This is literally
-    a histogram over the FINAL label map, so it matches the reference's
-    (kornia + torch.unique) semantics even when propagation hit the
-    iteration cap unconverged (spiral shapes with geodesic diameter >
-    num_iter — kornia truncates identically).
+    ``segment_sum`` histogram costs 2x12.7 ms per image on v5e): propagation
+    runs to its fixpoint (early-exit loop; see inline note on the deliberate
+    divergence from kornia's num_iter truncation), where a pixel is its
+    component's ROOT iff its label equals its own initial index; ``top_k``
+    collects up to ``max_components`` candidate roots and the per-candidate
+    area/probability-mass reduce is one broadcast compare + matmul.  Classes
+    with more than ``max_components`` true components (bone prob-masks carry
+    a handful of specks; raise the bound if ever needed) would silently
+    ignore the lowest-indexed ones.
     """
     assert prob_mask.ndim == 3, "segmentation_mask should be 3D tensor of shape (C, H, W)"
     if selection not in ("largest", "highest_probability"):
         raise NotImplementedError(f"Invalid selection: {selection}")
     c, h, w = prob_mask.shape
-    labels = connected_components(prob_mask.astype(jnp.float32), num_iter)
+    # Run propagation TO CONVERGENCE (bound h·w is the absolute worst case;
+    # the while-loop early-exits at the fixpoint, so real masks pay exactly
+    # the reference's iteration count).  kornia truncates at num_iter and can
+    # SPLIT a true component into stale fragments on adversarial spirals —
+    # converged labels are strictly more correct, and the downstream contract
+    # (zero all but one component) only consumes component IDENTITY.  With
+    # convergence guaranteed, fixpoint-root detection below is always exact
+    # (round-2 ADVICE; the sort+segmented-scan and lax.cond alternatives both
+    # measured slower on v5e — scans log-pass HBM, vmapped cond runs both
+    # branches).
+    labels = connected_components(prob_mask.astype(jnp.float32),
+                                  max(num_iter, h * w))
+    k = min(max_components, h * w)
 
-    # Per-component statistics by SORT + SEGMENTED SCAN (one 2-operand sort
-    # keyed by label, then associative scans over the label-contiguous runs).
-    # Exact for ANY component count and for truncated (unconverged) label
-    # maps — it is literally a histogram over the final labels, the
-    # reference's (kornia + torch.unique) semantics.  Replaces the former
-    # top_k-candidates + (K, HW) membership-matmul selection, whose K-bound
-    # silently dropped components and whose (K, HW) hit matrix moved ~170 MB
-    # of HBM per class (round-2 ADVICE + round-3 trace).
-    flat_lbl = labels.reshape(c, -1)
-    flat_prob = prob_mask.astype(jnp.float32).reshape(c, -1)
-    s_lbl, s_prob = jax.lax.sort((flat_lbl, flat_prob), dimension=-1,
-                                 num_keys=1)
-    first = jnp.concatenate(
-        [jnp.ones((c, 1), bool), s_lbl[:, 1:] != s_lbl[:, :-1]], axis=1)
+    def per_class(lbl, prob):
+        flat_lbl = lbl.reshape(-1)
+        flat_prob = prob.reshape(-1)
+        init = jnp.arange(h * w, dtype=jnp.int32) + 1
+        roots = jnp.where(flat_lbl == init, flat_lbl, 0)     # 0 = not a root
+        cand, _ = jax.lax.top_k(roots, k)                     # (K,) labels
+        hit = (flat_lbl[None, :] == cand[:, None]) & (cand[:, None] > 0)
+        hit = hit.astype(jnp.float32)                         # (K, HW)
+        areas = jnp.sum(hit, axis=1)
+        if selection == "largest":
+            metric = areas
+        else:
+            sums = hit @ flat_prob
+            metric = sums / jnp.maximum(areas, 1.0)
+        metric = jnp.where((cand > 0) & (areas > 0), metric, -jnp.inf)
+        winner = cand[jnp.argmax(metric)]
+        keep = (lbl == winner) & (lbl > 0)
+        return keep.astype(prob.dtype) * prob
 
-    def seg_cumsum(vals):
-        def op(a, b):
-            av, af = a
-            bv, bf = b
-            return jnp.where(bf, bv, av + bv), af | bf
-
-        out, _ = jax.lax.associative_scan(op, (vals, first), axis=1)
-        return out
-
-    def run_total(prefix):
-        # within-run prefix values are non-decreasing (non-negative terms),
-        # so a REVERSED segmented cummax propagates each run's total (its
-        # last prefix value) back to every member position
-        rev = prefix[:, ::-1]
-        rev_first = jnp.concatenate(
-            [jnp.ones((c, 1), bool), first[:, :0:-1]], axis=1)
-
-        def op(a, b):
-            av, af = a
-            bv, bf = b
-            return jnp.where(bf, bv, jnp.maximum(av, bv)), af | bf
-
-        out, _ = jax.lax.associative_scan(op, (rev, rev_first), axis=1)
-        return out[:, ::-1]
-
-    areas = run_total(seg_cumsum(jnp.ones_like(s_prob)))
-    if selection == "largest":
-        metric = areas
-    else:
-        sums = run_total(seg_cumsum(s_prob))
-        metric = sums / jnp.maximum(areas, 1.0)
-    metric = jnp.where(s_lbl > 0, metric, -jnp.inf)
-    win_pos = jnp.argmax(metric, axis=1)
-    winner = jnp.take_along_axis(s_lbl, win_pos[:, None], axis=1)  # (C, 1)
-    keep = (flat_lbl == winner) & (flat_lbl > 0)
-    return (keep.astype(prob_mask.dtype) * prob_mask.reshape(c, -1)
-            ).reshape(c, h, w)
+    return jax.vmap(per_class)(labels, prob_mask)

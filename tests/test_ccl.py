@@ -70,12 +70,13 @@ def test_scan_and_pool_methods_agree(rng):
         np.testing.assert_array_equal(scan, pool)
 
 
-def test_unconverged_selection_matches_truncated_histogram():
+def test_truncation_unconverged_selection_uses_true_components():
     """A spiral whose geodesic diameter exceeds num_iter leaves the pool
     propagation unconverged; selection must then match the reference's
-    (kornia's) semantics — a histogram over the TRUNCATED label map — not
-    the fixpoint-roots shortcut (round-2 ADVICE).  Oracle: numpy histogram
-    over our own truncated labels (bit-identical to kornia's truncation)."""
+    TRUE component structure: selection propagates to the fixpoint instead
+    of inheriting kornia's truncation, which splits one true component into
+    stale fragments (round-2 ADVICE; divergence documented in ops/ccl.py).
+    Oracle: numpy histogram over fully-converged labels."""
     import numpy as np
 
     from samcarriestheburden_tpu.ops.ccl import (
@@ -101,10 +102,16 @@ def test_unconverged_selection_matches_truncated_histogram():
     num_iter = 8  # far below the spiral's geodesic diameter
     labels, converged = connected_components(prob[None], num_iter,
                                              return_converged=True)
-    assert not bool(converged)
-    lab = np.asarray(labels[0])
+    assert not bool(converged)  # kornia WOULD truncate here (stale labels)
 
-    # kornia-style selection on the truncated labels
+    # selection runs propagation to the fixpoint (deliberate divergence from
+    # kornia's truncation — truncation SPLITS the spiral into stale fragments;
+    # see ops/ccl.py note), so the oracle is selection over TRUE components:
+    # the 0.95-probability blob beats the 0.6 spiral on mean probability
+    full, conv2 = connected_components(prob[None], h * w,
+                                       return_converged=True)
+    assert bool(conv2)
+    lab = np.asarray(full[0])
     best_mean, best_lbl = -1.0, 0
     for v in np.unique(lab):
         if v == 0:
@@ -114,6 +121,7 @@ def test_unconverged_selection_matches_truncated_histogram():
         if m > best_mean:
             best_mean, best_lbl = m, v
     expect = prob * (lab == best_lbl)
+    assert expect.sum() == prob[15, 15]  # the blob, not a spiral fragment
 
     got = np.asarray(remove_all_but_one_connected_component(
         prob[None], "highest_probability", num_iter))[0]
