@@ -186,6 +186,65 @@ def test_headmajor_windowed_attention_matches_unfused(rng):
     np.testing.assert_allclose(ours, ref, atol=2e-4)
 
 
+def test_windowed_attention_3d_matches_v3(rng):
+    """v4 flat-window path (8-aligned np carry, IN-KERNEL rel-pos via
+    log-step lane rolls — the TPU serving path, fused_rel_attention_window3d)
+    == the v3 windowed attention on live window slots.  vit_t's ws=5 gives
+    np=32 != n=25, so the dead-slot masking (-1e30 key logits) is
+    exercised."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = sam_vit_t_config().image_encoder
+    params = image_encoder.init(jax.random.PRNGKey(1), cfg)
+    blk = params["blocks"][0]
+    key = jax.random.PRNGKey(2)
+    blk["attn"]["rel_pos_h"] = jax.random.normal(
+        key, blk["attn"]["rel_pos_h"].shape) * 0.1
+    blk["attn"]["rel_pos_w"] = jax.random.normal(
+        key, blk["attn"]["rel_pos_w"].shape) * 0.1
+
+    ws = cfg.window_size
+    wb = 4
+    n = ws * ws
+    np_ = -(-n // 8) * 8
+    xw = rng.standard_normal((wb, ws, ws, cfg.embed_dim)).astype(np.float32)
+    pad_valid = np.ones((wb, ws, ws, 1), np.float32)
+    pad_valid[-1, :, -2:] = 0.0  # exercise the pad-mask path
+
+    ref = np.asarray(image_encoder._windowed_attention_headmajor(
+        blk, jnp.asarray(xw), jnp.asarray(pad_valid), cfg, interpret=True))
+
+    # flat carry exactly as forward() builds it (image_encoder.py:611-616)
+    x3 = jnp.pad(jnp.asarray(xw).reshape(wb, n, cfg.embed_dim),
+                 ((0, 0), (0, np_ - n), (0, 0)))
+    pad3 = jnp.pad(jnp.asarray(pad_valid).reshape(wb, n, 1),
+                   ((0, 0), (0, np_ - n), (0, 0)))
+    out3 = np.asarray(image_encoder._windowed_attention_headmajor3d(
+        blk, x3, pad3, cfg, interpret=True))
+    assert out3.shape == (wb, np_, cfg.embed_dim)
+    ours = out3[:, :n, :].reshape(wb, ws, ws, cfg.embed_dim)
+    np.testing.assert_allclose(ours, ref, atol=2e-4)
+
+
+def test_window_partition_flat_roundtrip(rng):
+    """window_partition_flat / window_unpartition_flat == the 4-D
+    partition/unpartition pair on real positions, including edge padding."""
+    import jax.numpy as jnp
+
+    ws, b, h, w, c = 5, 2, 12, 9, 16  # h, w not multiples of ws
+    x = jnp.asarray(rng.standard_normal((b, h, w, c)), jnp.float32)
+    flat, pad_hw = image_encoder.window_partition_flat(x, ws)
+    win, pad_hw4 = image_encoder.window_partition(x, ws)
+    assert pad_hw == pad_hw4
+    n = ws * ws
+    assert flat.shape[1] == -(-n // 8) * 8
+    np.testing.assert_array_equal(
+        np.asarray(flat[:, :n]), np.asarray(win.reshape(win.shape[0], n, c)))
+    back = image_encoder.window_unpartition_flat(flat, ws, pad_hw, (h, w))
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
 def test_headmajor_global_attention_matches_unfused(rng):
     """Global-layer head-major path (q-blocked kernel) == LN -> attention ->
     proj composition on the full token grid."""
