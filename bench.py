@@ -66,7 +66,7 @@ def main():
     parser.add_argument("--smoke", action="store_true", help="tiny CPU config")
     parser.add_argument("--model", default="vit_h",
                         choices=["vit_b", "vit_l", "vit_h"])
-    parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--batch", type=int, default=16)
     parser.add_argument("--attention", choices=["xla", "pallas", "auto"], default="auto")
     parser.add_argument("--quantize", choices=["int8", "none"], default="int8",
                         help="int8 encoder matmuls (kernels/quant.py) are the "
