@@ -126,3 +126,30 @@ def test_truncation_unconverged_selection_uses_true_components():
     got = np.asarray(remove_all_but_one_connected_component(
         prob[None], "highest_probability", num_iter))[0]
     np.testing.assert_allclose(got, expect)
+
+
+def test_pallas_propagation_matches_pool(rng):
+    """connected_components_pallas (VMEM-resident per-map loop, the TPU
+    serving path) == the XLA pool method, converged AND truncated (the step
+    function is bit-identical; tools/exp_ccl.py measured ~4x on v5e)."""
+    import jax
+    import jax.numpy as jnp
+
+    from samcarriestheburden_tpu.ops.ccl import connected_components_pallas
+
+    m = (rng.random((3, 40, 56)) < 0.45).astype(np.float32)
+    ref = np.asarray(connected_components(jnp.asarray(m), 40 * 56))
+    new, conv = connected_components_pallas(jnp.asarray(m), 40 * 56,
+                                            return_converged=True,
+                                            interpret=True)
+    assert bool(conv)
+    np.testing.assert_array_equal(np.asarray(new), ref)
+    # truncated: same stale labels as kornia/pool at the same cap
+    ref_t = np.asarray(connected_components(jnp.asarray(m), 7))
+    new_t = np.asarray(connected_components_pallas(jnp.asarray(m), 7,
+                                                   interpret=True))
+    np.testing.assert_array_equal(np.asarray(new_t), ref_t)
+    # vmapped (the batched-sweep integration shape)
+    batched = jax.vmap(lambda s: connected_components_pallas(
+        s, 64, interpret=True))(jnp.stack([jnp.asarray(m)] * 2))
+    assert batched.shape == (2,) + m.shape
