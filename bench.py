@@ -66,16 +66,19 @@ def main():
     parser.add_argument("--smoke", action="store_true", help="tiny CPU config")
     parser.add_argument("--model", default="vit_h",
                         choices=["vit_b", "vit_l", "vit_h"])
-    parser.add_argument("--batch", type=int, default=16)
+    parser.add_argument("--batch", type=int, default=32)
     parser.add_argument("--attention", choices=["xla", "pallas", "auto"], default="auto")
     parser.add_argument("--quantize", choices=["int8", "none"], default="int8",
                         help="int8 encoder matmuls (kernels/quant.py) are the "
                              "serving default — gated end-to-end by "
                              "tests/test_quantize.py (mask IoU 0.993 vs fp32, "
                              "est-Dice drift 5e-4); 'none' = bf16 parity mode")
-    parser.add_argument("--enhance_batch", type=int, default=8,
+    parser.add_argument("--enhance_batch", type=int, default=16,
                         help="images per refinement dispatch (matches the "
-                             "sweep CLI's --img_batch; 1 = per-image)")
+                             "sweep CLI's --img_batch; 1 = per-image).  16 "
+                             "became the sweet spot once the Pallas CCL gave "
+                             "each map its own early exit (8 before; 32 "
+                             "regresses)")
     parser.add_argument("--iters", type=int, default=3,
                         help="timing repeats; run-to-run spread is <1% and "
                              "compiles dominate wall time, so keep small")
