@@ -253,7 +253,12 @@ def remove_all_but_one_connected_component(prob_mask: jnp.ndarray, selection: st
         # VMEM-resident propagation on TPU hardware: ~4x the batched XLA
         # loop (no HBM round-trip per iteration + per-map early exit;
         # tools/exp_ccl.py).  Same labels — bit-identical step function.
-        method = ("pallas" if jax.default_backend() == "tpu" else "pool")
+        # The kernel holds one map (+ mask, pad temporaries) in VMEM, so
+        # gate on map size: ~6 live (H, W) f32 buffers against a 100 MB
+        # ceiling; huge maps fall back to the HBM-streaming XLA loop.
+        fits_vmem = 6 * h * w * 4 < 100 * 1024 * 1024
+        method = ("pallas" if jax.default_backend() == "tpu" and fits_vmem
+                  else "pool")
     if method == "pallas":
         labels = connected_components_pallas(prob_mask.astype(jnp.float32),
                                              max(num_iter, h * w))
