@@ -125,6 +125,11 @@ def connected_components(mask: jnp.ndarray, num_iterations: int,
     return (labels, done) if return_converged else labels
 
 
+#: VMEM budget for the per-map propagation kernel; the method='auto' gate in
+#: remove_all_but_one_connected_component sizes against this same constant.
+_PALLAS_CCL_VMEM_BYTES = 100 * 1024 * 1024
+
+
 def _ccl_prop_kernel(mask_ref, lbl_ref, conv_ref, *, h: int, w: int,
                      num_iterations: int, check_every: int):
     """One map's label propagation, entirely in VMEM.
@@ -202,7 +207,7 @@ def connected_components_pallas(mask: jnp.ndarray, num_iterations: int,
                    jax.ShapeDtypeStruct((m, 8, 128), jnp.int32)),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=_PALLAS_CCL_VMEM_BYTES),
         interpret=interpret,
     )(flat.astype(jnp.float32))
     labels = labels.reshape(*lead, h, w)
@@ -253,10 +258,16 @@ def remove_all_but_one_connected_component(prob_mask: jnp.ndarray, selection: st
         # VMEM-resident propagation on TPU hardware: ~4x the batched XLA
         # loop (no HBM round-trip per iteration + per-map early exit;
         # tools/exp_ccl.py).  Same labels — bit-identical step function.
-        # The kernel holds one map (+ mask, pad temporaries) in VMEM, so
-        # gate on map size: ~6 live (H, W) f32 buffers against a 100 MB
-        # ceiling; huge maps fall back to the HBM-streaming XLA loop.
-        fits_vmem = 6 * h * w * 4 < 100 * 1024 * 1024
+        # The kernel holds one map in VMEM — mask + fg + iota pair + carry
+        # labels + step temporaries (padded/grown) + the output block, ~10
+        # (H, W) f32-sized live buffers — so gate on map size with a 2x
+        # margin against the kernel's VMEM ceiling; huge maps fall back to
+        # the HBM-streaming XLA loop.  NOTE: 'auto' keys on the process
+        # default backend, not the device this trace will actually run on;
+        # when compiling for a non-default device on a TPU host (e.g. a
+        # CPU-committed sanity check under jax.default_device), pass
+        # method='pool' explicitly.
+        fits_vmem = 10 * h * w * 4 < _PALLAS_CCL_VMEM_BYTES // 2
         method = ("pallas" if jax.default_backend() == "tpu" and fits_vmem
                   else "pool")
     if method == "pallas":
