@@ -255,7 +255,7 @@ def remove_all_but_one_connected_component(prob_mask: jnp.ndarray, selection: st
     # measured slower on v5e — scans log-pass HBM, vmapped cond runs both
     # branches).
     if method == "auto":
-        # VMEM-resident propagation on TPU hardware: ~4x the batched XLA
+        # VMEM-resident propagation on TPU hardware: ~3-4x the batched XLA
         # loop (no HBM round-trip per iteration + per-map early exit;
         # tools/exp_ccl.py).  Same labels — bit-identical step function.
         # The kernel holds one map in VMEM — mask + fg + iota pair + carry

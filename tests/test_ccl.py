@@ -131,7 +131,7 @@ def test_truncation_unconverged_selection_uses_true_components():
 def test_pallas_propagation_matches_pool(rng):
     """connected_components_pallas (VMEM-resident per-map loop, the TPU
     serving path) == the XLA pool method, converged AND truncated (the step
-    function is bit-identical; tools/exp_ccl.py measured ~4x on v5e)."""
+    function is bit-identical; tools/exp_ccl.py measured ~3-4x on v5e)."""
     import jax
     import jax.numpy as jnp
 
