@@ -130,6 +130,26 @@ def connected_components(mask: jnp.ndarray, num_iterations: int,
 _PALLAS_CCL_VMEM_BYTES = 100 * 1024 * 1024
 
 
+def _resolve_ccl_method(h: int, w: int) -> str:
+    """method='auto' resolution for remove_all_but_one_connected_component.
+
+    VMEM-resident propagation on TPU hardware: ~3-4x the batched XLA loop
+    (no HBM round-trip per iteration + per-map early exit; tools/exp_ccl.py).
+    Same labels — bit-identical step function.  The kernel holds one map in
+    VMEM — mask + fg + iota pair + carry labels + step temporaries
+    (padded/grown) + the output block, ~10 (H, W) f32-sized live buffers —
+    so gate on map size with a 2x margin against the kernel's VMEM ceiling;
+    huge maps fall back to the HBM-streaming XLA loop.  NOTE: 'auto' keys on
+    the process default backend, not the device this trace will actually run
+    on; when compiling for a non-default device on a TPU host (e.g. a
+    CPU-committed sanity check under jax.default_device), pass method='pool'
+    explicitly.
+    """
+    fits_vmem = 10 * h * w * 4 < _PALLAS_CCL_VMEM_BYTES // 2
+    return ("pallas" if jax.default_backend() == "tpu" and fits_vmem
+            else "pool")
+
+
 def _ccl_prop_kernel(mask_ref, lbl_ref, conv_ref, *, h: int, w: int,
                      num_iterations: int, check_every: int):
     """One map's label propagation, entirely in VMEM.
@@ -255,21 +275,7 @@ def remove_all_but_one_connected_component(prob_mask: jnp.ndarray, selection: st
     # measured slower on v5e — scans log-pass HBM, vmapped cond runs both
     # branches).
     if method == "auto":
-        # VMEM-resident propagation on TPU hardware: ~3-4x the batched XLA
-        # loop (no HBM round-trip per iteration + per-map early exit;
-        # tools/exp_ccl.py).  Same labels — bit-identical step function.
-        # The kernel holds one map in VMEM — mask + fg + iota pair + carry
-        # labels + step temporaries (padded/grown) + the output block, ~10
-        # (H, W) f32-sized live buffers — so gate on map size with a 2x
-        # margin against the kernel's VMEM ceiling; huge maps fall back to
-        # the HBM-streaming XLA loop.  NOTE: 'auto' keys on the process
-        # default backend, not the device this trace will actually run on;
-        # when compiling for a non-default device on a TPU host (e.g. a
-        # CPU-committed sanity check under jax.default_device), pass
-        # method='pool' explicitly.
-        fits_vmem = 10 * h * w * 4 < _PALLAS_CCL_VMEM_BYTES // 2
-        method = ("pallas" if jax.default_backend() == "tpu" and fits_vmem
-                  else "pool")
+        method = _resolve_ccl_method(h, w)
     if method == "pallas":
         labels = connected_components_pallas(prob_mask.astype(jnp.float32),
                                              max(num_iter, h * w))

@@ -153,3 +153,18 @@ def test_pallas_propagation_matches_pool(rng):
     batched = jax.vmap(lambda s: connected_components_pallas(
         s, 64, interpret=True))(jnp.stack([jnp.asarray(m)] * 2))
     assert batched.shape == (2,) + m.shape
+
+
+def test_auto_method_gate():
+    """method='auto' picks the VMEM-resident kernel only on TPU and only when
+    the map fits the kernel's VMEM budget with margin; everything else falls
+    back to the HBM-streaming XLA loop."""
+    from unittest import mock
+
+    from samcarriestheburden_tpu.ops import ccl
+
+    with mock.patch.object(ccl.jax, "default_backend", return_value="tpu"):
+        assert ccl._resolve_ccl_method(384, 224) == "pallas"
+        assert ccl._resolve_ccl_method(4096, 4096) == "pool"   # > VMEM budget
+    with mock.patch.object(ccl.jax, "default_backend", return_value="cpu"):
+        assert ccl._resolve_ccl_method(384, 224) == "pool"
