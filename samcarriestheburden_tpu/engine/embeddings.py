@@ -94,10 +94,13 @@ def make_encode_batch(model: SamModel, dtype=jnp.bfloat16,
     return encode
 
 
-def make_encode_batch_medsam(model: SamModel, dtype=jnp.bfloat16):
+def make_encode_batch_medsam(model: SamModel, dtype=jnp.bfloat16,
+                             quantize=None):
     """MedSAM variant (reference generate_img_embeddings.py:49-64): the image
     arrives cubic-resized to the square encoder size; normalisation is
-    per-image min-max to [0, 1] (no padding mask)."""
+    per-image min-max to [0, 1] (no padding mask).  ``quantize`` selects the
+    same int8 serving mode as :func:`make_encode_batch` (the encoder stack is
+    identical — only the preprocessing differs)."""
     from samcarriestheburden_tpu.models import image_encoder
 
     fused = jax.default_backend() == "tpu"
@@ -110,7 +113,8 @@ def make_encode_batch_medsam(model: SamModel, dtype=jnp.bfloat16):
         x = (x - lo) / jnp.clip(hi - lo, 1e-8)
         return image_encoder.apply(params["image_encoder"],
                                    model.cfg.image_encoder, x, dtype=dtype,
-                                   fused_mlp=fused, fused_qkv=fused)
+                                   fused_mlp=fused, fused_qkv=fused,
+                                   quantize=quantize)
 
     return encode
 
@@ -145,10 +149,11 @@ def precompute_embeddings(model: SamModel, image_files: Sequence,
 
         timer = PhaseTimer(sync=False)  # no-op accounting
     size = model.img_size
-    encode = (make_encode_batch_medsam(model, dtype) if medsam
+    encode = (make_encode_batch_medsam(model, dtype, quantize=quantize)
+              if medsam
               else make_encode_batch(model, dtype, quantize=quantize))
     encode_params = model.params
-    if quantize == "int8" and not medsam:
+    if quantize == "int8":
         # int8 serving mode: quantize the 0.6B encoder weights ONCE up front
         from samcarriestheburden_tpu.models.quantize import prequantize_sam
 

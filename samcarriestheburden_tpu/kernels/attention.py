@@ -369,6 +369,8 @@ def fused_rel_attention_headmajor_global(qkv: jnp.ndarray, rel_h: jnp.ndarray,
     assert p == _headmajor_pad(hd), (p, hd)
     scale = hd ** -0.5
     q_block = min(q_block, n)
+    while n % q_block:  # shrink until it divides — a truncating grid would
+        q_block //= 2   # leave the token tail unwritten (garbage output)
     grid = (b, n // q_block, heads)
     kernel = partial(_attn_kernel_headmajor_qb, scale=scale, kh=kh, kw=kw,
                      hd=hd)
@@ -603,6 +605,8 @@ def fused_rel_attention_global3d(qkv: jnp.ndarray, tcat: jnp.ndarray, *,
     assert p == _headmajor_pad(hd), (p, hd)
     scale = hd ** -0.5
     q_block = min(q_block, n)
+    while n % q_block:  # shrink until it divides — a truncating grid would
+        q_block //= 2   # leave the token tail unwritten (garbage output)
     grid = (b, n // q_block, heads)
     kernel = partial(_attn_kernel_global3d, scale=scale, kh=kh, kw=kw, hd=hd,
                      q_block=q_block)
@@ -628,19 +632,26 @@ def fused_rel_attention_global3d(qkv: jnp.ndarray, tcat: jnp.ndarray, *,
     )(qkv, qkv, tcat)
 
 
-def prepare_rel_tables_window3d(p_attn: dict, ws: int, dtype) -> jnp.ndarray:
+def prepare_rel_tables_window3d(p_attn: dict, ws: int, dtype,
+                                ws_w: int | None = None) -> jnp.ndarray:
     """(hd, 256) packed rel-pos tables for the window3d kernel: tcat[c, r] =
-    rel_pos_h[r, c] for r < 2ws-1, tcat[c, 128+r] = rel_pos_w[r, c]."""
+    rel_pos_h[r, c] for r < 2ws-1, tcat[c, 128+r] = rel_pos_w[r, c].
+
+    ``ws_w``: key-grid width when it differs from the height ``ws`` (global
+    layers on non-square token grids); each table is resized to its OWN
+    axis length 2*size-1."""
     from samcarriestheburden_tpu.models.image_encoder import \
         resize_rel_pos_table
 
-    rmax = 2 * ws - 1
-    th = resize_rel_pos_table(p_attn["rel_pos_h"], rmax).T    # (hd, R)
-    tw = resize_rel_pos_table(p_attn["rel_pos_w"], rmax).T
+    if ws_w is None:
+        ws_w = ws
+    rh_max, rw_max = 2 * ws - 1, 2 * ws_w - 1
+    th = resize_rel_pos_table(p_attn["rel_pos_h"], rh_max).T  # (hd, R)
+    tw = resize_rel_pos_table(p_attn["rel_pos_w"], rw_max).T
     hd = th.shape[0]
     tcat = jnp.zeros((hd, 256), jnp.float32)
-    tcat = tcat.at[:, :rmax].set(th)
-    tcat = tcat.at[:, 128:128 + rmax].set(tw)
+    tcat = tcat.at[:, :rh_max].set(th)
+    tcat = tcat.at[:, 128:128 + rw_max].set(tw)
     return tcat.astype(dtype)
 
 

@@ -14,11 +14,9 @@ Scheme (standard dynamic PTQ):
   round 2 quantized per call, which re-scanned ViT-H's 0.6B params every
   forward and ate the MXU gain);
 * activations: symmetric per-row (per-token) int8, computed in-kernel after
-  the LayerNorm.  The MLP hidden activation is quantized per (row, chunk)
-  where the 4E hidden dim is split into ``n_chunks`` column chunks: the
-  chunking both tightens the quant ranges and breaks the serial
-  LN->dot1->GELU->quant->dot2 chain into independent chunk pipelines whose
-  VPU work (GELU + requant) can overlap the MXU work of other chunks;
+  the LayerNorm; the MLP hidden activation is re-quantized per row between
+  the two dots (hidden-dim chunking was benchmarked and removed — it only
+  tied the single-chunk kernel on v5e, see BENCHMARKS negative-results);
 * accumulation int32 on the MXU; dequantise with the rank-1 outer product of
   row and channel scales; LN statistics, GELU and residuals stay fp32.
 
@@ -80,8 +78,7 @@ def _gelu(h: jnp.ndarray, impl: str) -> jnp.ndarray:
     return h * jnp.clip(0.5 + h * p, 0.0, 1.0)
 
 
-def _ln_mlp_kernel_q(*refs, eps: float, n_chunks: int, has_add: bool,
-                     gelu: str):
+def _ln_mlp_kernel_q(*refs, eps: float, has_add: bool, gelu: str):
     if has_add:
         (x_ref, a_ref, g_ref, b_ref, w1_ref, s1_ref, b1_ref,
          w2_ref, s2_ref, b2_ref, o_ref) = refs
@@ -97,27 +94,18 @@ def _ln_mlp_kernel_q(*refs, eps: float, n_chunks: int, has_add: bool,
     xn = xn * g_ref[0].astype(jnp.float32) + b_ref[0].astype(jnp.float32)
 
     xq, sx = _row_quant(xn)
-    m = w1_ref.shape[1]
-    e = xf.shape[-1]
-    ch = m // n_chunks
-    acc = jnp.zeros((xf.shape[0], e), jnp.float32)
-    for j in range(n_chunks):
-        lo, hi = j * ch, (j + 1) * ch
-        h = _int8_dot(xq, w1_ref[:, lo:hi]).astype(jnp.float32)
-        h = h * (sx * s1_ref[0, lo:hi]) + b1_ref[0, lo:hi].astype(jnp.float32)
-        h = _gelu(h, gelu)
-        hq, sh = _row_quant(h)
-        acc = acc + _int8_dot(hq, w2_ref[lo:hi, :]).astype(jnp.float32) \
-            * (sh * s2_ref[0])
-    o_ref[:] = (xf + acc + b2_ref[0].astype(jnp.float32)).astype(o_ref.dtype)
+    h = _int8_dot(xq, w1_ref[:]).astype(jnp.float32)
+    h = h * (sx * s1_ref[0]) + b1_ref[0].astype(jnp.float32)
+    h = _gelu(h, gelu)
+    hq, sh = _row_quant(h)
+    y = _int8_dot(hq, w2_ref[:]).astype(jnp.float32) * (sh * s2_ref[0])
+    o_ref[:] = (xf + y + b2_ref[0].astype(jnp.float32)).astype(o_ref.dtype)
 
 
-@partial(jax.jit, static_argnames=("t_block", "n_chunks", "eps", "gelu",
-                                   "interpret"))
+@partial(jax.jit, static_argnames=("t_block", "eps", "gelu", "interpret"))
 def fused_ln_mlp_residual_int8(x, ln_scale, ln_bias, w1q, s1, b1, w2q, s2, b2,
                                add: Optional[jnp.ndarray] = None,
                                *, t_block: Optional[int] = None,
-                               n_chunks: int = 1,
                                eps: float = 1e-6,
                                gelu: str = "poly",
                                interpret: bool = False) -> jnp.ndarray:
@@ -125,12 +113,16 @@ def fused_ln_mlp_residual_int8(x, ln_scale, ln_bias, w1q, s1, b1, w2q, s2, b2,
     w1q (E, M) int8 + s1 (1, M); w2q (M, E) int8 + s2 (1, E); ``add`` folds
     the block's attention residual in-kernel like the bf16 variant.
     ``gelu='poly'`` (default) uses the FMA-only Phi polynomial — the erf
-    form keeps the int8 kernel VPU-bound (see _PHI_POLY note)."""
+    form keeps the int8 kernel VPU-bound (see _PHI_POLY note).  A hidden-dim
+    chunked variant (per-(row, chunk) quantization) was benchmarked and
+    removed: 2/4 chunks only tie the single-chunk kernel on v5e (BENCHMARKS
+    negative-results; tools/exp_mlp2.py keeps a standalone copy), and the
+    arithmetic would diverge from the ln_mlp_residual_int8_xla mirror the
+    end-to-end accuracy gate validates."""
     t, e = x.shape
     m = w1q.shape[1]
     if t_block is None:
         t_block = min(512, t)  # v5e sweep: 512 beats 256 for the int8 kernel
-    assert m % n_chunks == 0, (m, n_chunks)
     grid = (pl.cdiv(t, t_block),)
     x_spec = pl.BlockSpec((t_block, e), lambda i: (i, 0))
     in_specs = [x_spec] + ([x_spec] if add is not None else []) + [
@@ -148,7 +140,7 @@ def fused_ln_mlp_residual_int8(x, ln_scale, ln_bias, w1q, s1, b1, w2q, s2, b2,
         w1q, s1.reshape(1, -1), b1.reshape(1, -1),
         w2q, s2.reshape(1, -1), b2.reshape(1, -1))
     return pl.pallas_call(
-        partial(_ln_mlp_kernel_q, eps=eps, n_chunks=n_chunks,
+        partial(_ln_mlp_kernel_q, eps=eps,
                 has_add=add is not None, gelu=gelu),
         grid=grid,
         in_specs=in_specs,

@@ -307,7 +307,7 @@ def _global_attention_headmajor(p: dict, x: jnp.ndarray,
                                        rel_h, rel_w, heads=heads, hd=hd,
                                        kh=gh, kw=gw)
     else:
-        tcat = prepare_rel_tables_window3d(p["attn"], gh, x.dtype)
+        tcat = prepare_rel_tables_window3d(p["attn"], gh, x.dtype, ws_w=gw)
         out = fused_rel_attention_global3d(
             qkv.reshape(b, n, heads * pad), tcat,
             kh=gh, kw=gw, heads=heads, hd=hd, interpret=interpret)

@@ -31,13 +31,22 @@ def trace(log_dir="runs/profile"):
         jax.profiler.stop_trace()
 
 
+_SYNC_FN = None
+
+
 def _sync_op():
     """A trivial jitted computation whose fetched result bounds all previously
-    enqueued device work (single-stream execution order)."""
-    import jax
-    import jax.numpy as jnp
+    enqueued device work (single-stream execution order).  The jitted fn is
+    built once and cached at module level: a fresh ``jax.jit(lambda: ...)``
+    per call would miss jit's dispatch cache every time and add trace
+    overhead inside the very window PhaseTimer measures."""
+    global _SYNC_FN
+    if _SYNC_FN is None:
+        import jax
+        import jax.numpy as jnp
 
-    return jax.jit(lambda: jnp.zeros((), jnp.float32) + 1)()
+        _SYNC_FN = jax.jit(lambda: jnp.zeros((), jnp.float32) + 1)
+    return _SYNC_FN()
 
 
 class PhaseTimer:

@@ -140,6 +140,11 @@ def warp_affine(x: jnp.ndarray, y: jnp.ndarray, theta: jnp.ndarray,
     hardware, and the matmul formulation already erased the augmentation tax
     — 138 ms/step augmented == plain, BENCHMARKS.md.)
     """
+    if method not in ("matmul", "gather"):
+        raise ValueError(
+            f"Unknown warp method {method!r}: use 'matmul' or 'gather' "
+            "(the round-2 'pallas' kernel was removed — Mosaic's "
+            "dynamic_gather cannot lower it; 'matmul' is its replacement)")
     grid = affine_grid(theta, x.shape[-2:])
     if method == "gather":
         return grid_sample(x, grid, "bilinear"), grid_sample(y, grid, "nearest")

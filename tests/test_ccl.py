@@ -168,3 +168,23 @@ def test_auto_method_gate():
         assert ccl._resolve_ccl_method(4096, 4096) == "pool"   # > VMEM budget
     with mock.patch.object(ccl.jax, "default_backend", return_value="cpu"):
         assert ccl._resolve_ccl_method(384, 224) == "pool"
+
+
+def test_many_components_selection_exact_within_cap():
+    """~200 components with the true winner in the top-left corner (the
+    candidates top_k drops the LOWEST root indices on overflow — exactly the
+    top-left components): the default cap must still select it.  Would fail
+    at max_components=128 (winner's root falls outside the 128 largest
+    label values); guards the 256 default."""
+    h, w = 96, 96
+    prob = np.zeros((1, h, w), np.float32)
+    prob[0, 2:10, 2:10] = 0.8          # 64-px winner, top-left (lowest root)
+    k = 0
+    for r in range(12, 92, 4):         # 20 x 10 = 200 single-pixel specks
+        for c in range(12, 52, 4):
+            prob[0, r, c] = 0.6
+            k += 1
+    out = np.asarray(remove_all_but_one_connected_component(
+        prob, "largest", h * w))
+    assert out[0, 5, 5] > 0            # winner kept
+    assert (out[0, 12:, 12:] == 0).all()  # all specks removed

@@ -372,3 +372,74 @@ def test_fast_gelu_matches_exact(rng):
     x = jnp.asarray(rng.standard_normal(4096) * 3, jnp.float32)
     np.testing.assert_allclose(np.asarray(fast_gelu(x)), np.asarray(gelu(x)),
                                atol=3e-6)
+
+
+def test_headmajor_global_attention_nonsquare_grid(rng):
+    """gh != gw global grid: each rel table must be resized to its OWN axis
+    length (2*size-1) and the q_block grid must cover every token even when
+    n is not a multiple of the default block (regression: the packed-table
+    helper resized both tables to the h-axis length, and the kernel grid
+    truncated n % q_block tail tokens)."""
+    import jax
+
+    cfg = sam_vit_t_config().image_encoder
+    params = image_encoder.init(jax.random.PRNGKey(1), cfg)
+    blk = params["blocks"][0]
+    key = jax.random.PRNGKey(5)
+    hd = cfg.embed_dim // cfg.num_heads
+    gh, gw = 6, 3   # non-square, n=18 not a power of two
+    blk["attn"]["rel_pos_h"] = jax.random.normal(key, (2 * gh - 1, hd)) * 0.1
+    blk["attn"]["rel_pos_w"] = jax.random.normal(key, (2 * gw - 1, hd)) * 0.1
+
+    x = rng.standard_normal((2, gh, gw, cfg.embed_dim)).astype(np.float32)
+    from samcarriestheburden_tpu.models.common import layer_norm
+
+    xn = layer_norm(blk["norm1"], x, cfg.layer_norm_eps)
+    ref = np.asarray(image_encoder.attention_apply(
+        blk["attn"], xn, cfg.num_heads, cfg.use_rel_pos))
+    ours = np.asarray(image_encoder._global_attention_headmajor(
+        blk, x, cfg, interpret=True))
+    np.testing.assert_allclose(ours, ref, atol=2e-4)
+
+
+def test_int8_kernels_equal_xla_mirrors(rng):
+    """The Pallas int8 kernels and the plain-jnp mirrors the end-to-end
+    accuracy gate runs (tests/test_quantize.py uses the mirrors because
+    force-interpret at vit_b scale blows the slow-tier budget) compute the
+    SAME arithmetic: int32 dots, per-token round-to-nearest, poly GELU.
+    Tight tolerance — only f32 accumulation-order noise is allowed; any
+    drift between kernel and mirror voids the accuracy gate."""
+    import jax.numpy as jnp
+
+    from samcarriestheburden_tpu.kernels.quant import (
+        fused_ln_masked_linear_int8, fused_ln_mlp_residual_int8,
+        ln_masked_linear_int8_xla, ln_mlp_residual_int8_xla, quantize_weight)
+
+    t, e, m = 48, 64, 256
+    x = jnp.asarray(rng.standard_normal((t, e)), jnp.float32)
+    g = jnp.asarray(1 + rng.standard_normal(e) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(e) * 0.1, jnp.float32)
+    w1q, s1 = quantize_weight(
+        jnp.asarray(rng.standard_normal((e, m)) * 0.05, jnp.float32))
+    b1 = jnp.asarray(rng.standard_normal(m) * 0.1, jnp.float32)
+    w2q, s2 = quantize_weight(
+        jnp.asarray(rng.standard_normal((m, e)) * 0.05, jnp.float32))
+    b2 = jnp.asarray(rng.standard_normal(e) * 0.1, jnp.float32)
+    add = jnp.asarray(rng.standard_normal((t, e)), jnp.float32)
+
+    for extra in (None, add):  # both residual-fold variants
+        kern = np.asarray(fused_ln_mlp_residual_int8(
+            x, g, b, w1q, s1, b1, w2q, s2, b2, add=extra, interpret=True))
+        mirror = np.asarray(ln_mlp_residual_int8_xla(
+            x, g, b, w1q, s1, b1, w2q, s2, b2, add=extra))
+        np.testing.assert_allclose(kern, mirror, atol=1e-4, rtol=1e-5)
+
+    o = 192
+    wq, s = quantize_weight(
+        jnp.asarray(rng.standard_normal((e, o)) * 0.05, jnp.float32))
+    bo = jnp.asarray(rng.standard_normal(o) * 0.1, jnp.float32)
+    mask = jnp.asarray((rng.random((t, 1)) > 0.2), jnp.float32)
+    kern = np.asarray(fused_ln_masked_linear_int8(x, mask, g, b, wq, s, bo,
+                                                  interpret=True))
+    mirror = np.asarray(ln_masked_linear_int8_xla(x, mask, g, b, wq, s, bo))
+    np.testing.assert_allclose(kern, mirror, atol=1e-4, rtol=1e-5)
