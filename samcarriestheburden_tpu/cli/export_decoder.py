@@ -3,6 +3,12 @@
 
 python -m samcarriestheburden_tpu.cli.export_decoder \\
     --checkpoint <ckpt> --model-type vit_h --output decoder.stablehlo
+
+The reference's ``--gelu-approx`` flag (export_onnx_model.py:117-120, swaps
+erf GELU for the tanh approximation because some ONNX runtimes lack
+``Erf``) is deliberately NOT carried: StableHLO consumers lower ``erf``
+natively, so the exported program keeps exact-GELU numerics — the swap
+would only add avoidable drift.
 """
 
 from __future__ import annotations
