@@ -164,11 +164,12 @@ def main():
             params["prompt_encoder"], cfg.prompt_encoder, coords, labels)
         image_pe = prompt_encoder.get_dense_pe(params["prompt_encoder"],
                                                cfg.prompt_encoder)
-        # round 1: box-style prompts, no mask input
+        # round 1: box-style prompts, no mask input -> shared image side
         dense = prompt_encoder.no_mask_dense(params["prompt_encoder"],
-                                             cfg.prompt_encoder, N_CLASSES)
+                                             cfg.prompt_encoder, 1)
         low1, _ = mask_decoder.apply(params["mask_decoder"], cfg.mask_decoder,
-                                     features, image_pe, sparse, dense, False)
+                                     features, image_pe, sparse, dense, False,
+                                     image_shared=True)
         # round 2: same sparse prompts + round-1 logits as mask input
         dense2 = prompt_encoder.embed_masks(params["prompt_encoder"],
                                             cfg.prompt_encoder, low1)
@@ -287,7 +288,8 @@ def main():
         sparse, dense = model.encode_prompts(points=(pts, jnp.ones(
             pts.shape[:2], jnp.int32)))
         low_res, iou = model.decode_masks(feats, model.get_dense_pe(),
-                                          sparse, dense, True)
+                                          sparse, dense, True,
+                                          image_shared=True)
         masks = model.postprocess_masks(low_res, (size, size), (size, size))
         stab = calculate_stability_score(masks, 0.0, 1.0)
         return iou, stab, jnp.sum(masks > 0, axis=(-2, -1))

@@ -79,26 +79,38 @@ class SamMaskDecoderHead:
         self.mask_threshold = self.cfg.mask_threshold
         self.compute_dtype = (jnp.float32 if compute_dtype is None
                               else compute_dtype)
-        self._decode = jax.jit(self._decode_impl)
+        self._decode = jax.jit(self._decode_impl,
+                               static_argnames=("image_shared",))
         self._features_cache: Tuple[Optional[str], Optional[jnp.ndarray]] = (None, None)
 
     # ------------------------------------------------------------------
     # jitted core
     # ------------------------------------------------------------------
 
-    def _decode_impl(self, features, coords, labels, mask_input, use_mask):
+    def _decode_impl(self, features, coords, labels, mask_input, use_mask,
+                     image_shared=False):
         """features (1, 256, G, G); coords (B, N, 2) input-frame xy; labels
         (B, N) in {-1,0,1,2,3}; mask_input (B, 1, 4G, 4G); use_mask (B,) bool.
-        Returns (low_res (B, 1, 4G, 4G), iou (B, 1))."""
+        Returns (low_res (B, 1, 4G, 4G), iou (B, 1)).
+
+        ``image_shared`` (static): caller promises no batch item uses a mask
+        input (``use_mask`` all-False — the refinement round-1 case), so the
+        dense embedding is the shared no-mask default and the decoder runs
+        its shared-image fast path (mask_decoder.predict_masks)."""
         pe_p = self.params["prompt_encoder"]
         pe_c = self.cfg.prompt_encoder
         sparse = prompt_encoder.embed_unified_points(pe_p, pe_c, coords, labels)
-        dense = prompt_encoder.embed_masks_or_default(pe_p, pe_c, mask_input, use_mask)
+        if image_shared:
+            dense = prompt_encoder.no_mask_dense(pe_p, pe_c, 1)
+        else:
+            dense = prompt_encoder.embed_masks_or_default(pe_p, pe_c,
+                                                          mask_input, use_mask)
         image_pe = prompt_encoder.get_dense_pe(pe_p, pe_c)
         return mask_decoder.apply(self.params["mask_decoder"], self.cfg.mask_decoder,
                                   features, image_pe, sparse, dense,
                                   multimask_output=False,
-                                  dtype=self.compute_dtype)
+                                  dtype=self.compute_dtype,
+                                  image_shared=image_shared)
 
     def decode_batched(self, features, coords, labels, mask_input=None,
                        use_mask=None):

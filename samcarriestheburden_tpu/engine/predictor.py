@@ -113,7 +113,9 @@ class SamPredictor:
 
         low_res, iou = self.model.decode_masks(
             self.features, self.model.get_dense_pe(), sparse, dense,
-            multimask_output)
+            multimask_output,
+            # one image, no per-prompt mask input -> shared image side
+            image_shared=(mask_input is None and self.features.shape[0] == 1))
         masks = self.model.postprocess_masks(low_res, self.input_size,
                                              self.original_size)
         if not return_logits:

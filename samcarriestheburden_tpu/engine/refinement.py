@@ -182,10 +182,12 @@ class SamSegRefiner(SegRefiner):
         coords1, labels1 = self._build_prompts(arrays, neg_table, neg_valid,
                                                self.prompts2use1st, seg_hw, input_size)
         g4 = head.cfg.prompt_encoder.image_embedding_size[0] * 4
+        # round 1 has no mask input -> the image side is identical across
+        # classes; the decoder's shared-image path projects it once
         low_res, iou = head._decode(
             features, coords1, labels1,
             jnp.zeros((coords1.shape[0], 1, g4, g4), jnp.float32),
-            jnp.zeros((coords1.shape[0],), bool))
+            jnp.zeros((coords1.shape[0],), bool), image_shared=True)
         if self.self_refine:
             coords2, labels2 = self._build_prompts(arrays, neg_table, neg_valid,
                                                    self.prompts2use2nd, seg_hw,

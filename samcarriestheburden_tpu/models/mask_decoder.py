@@ -105,7 +105,8 @@ def predict_masks(params: dict, cfg: MaskDecoderConfig,
                   image_embeddings: jnp.ndarray, image_pe: jnp.ndarray,
                   sparse_prompt_embeddings: jnp.ndarray,
                   dense_prompt_embeddings: jnp.ndarray,
-                  dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                  dtype=jnp.float32,
+                  image_shared: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Reference ``predict_masks`` (mask_decoder.py:112-149).
 
     image_embeddings: (1 or B, C, H, W); image_pe: (1, C, H, W);
@@ -116,6 +117,13 @@ def predict_masks(params: dict, cfg: MaskDecoderConfig,
     bfloat16 halves the HBM traffic of the upscaling/hypernetwork leg (its
     fp32 intermediates are ~1 GB per batched-refinement dispatch) and is the
     TPU serving setting — outputs return in fp32 either way.
+
+    ``image_shared``: static promise that every batch item decodes the SAME
+    image rows — ``image_embeddings`` has batch 1 and the dense embedding is
+    identical across the batch (round-1 refinement / AMG point grids, where
+    dense is the broadcast no-mask embedding).  The transformer then computes
+    its layer-0 image-side projections once instead of B times (numerically
+    identical; see transformer.block_apply_image_shared).
     """
     if dtype != jnp.float32:
         cast = lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a
@@ -131,11 +139,17 @@ def predict_masks(params: dict, cfg: MaskDecoderConfig,
     output_tokens = jnp.broadcast_to(output_tokens[None], (b, 1 + nt, cfg.transformer_dim))
     tokens = jnp.concatenate([output_tokens, sparse_prompt_embeddings], axis=1)
 
-    src = jnp.broadcast_to(image_embeddings, (b,) + image_embeddings.shape[1:])
-    src = src + dense_prompt_embeddings
+    if image_shared:
+        assert image_embeddings.shape[0] == 1, \
+            "image_shared requires batch-1 image embeddings"
+        src = image_embeddings + dense_prompt_embeddings[:1]
+    else:
+        src = jnp.broadcast_to(image_embeddings, (b,) + image_embeddings.shape[1:])
+        src = src + dense_prompt_embeddings
     _, c, h, w = src.shape
 
-    hs, src_out = transformer.apply(params["transformer"], cfg, src, image_pe, tokens)
+    hs, src_out = transformer.apply(params["transformer"], cfg, src, image_pe,
+                                    tokens, image_shared=image_shared)
     iou_token_out = hs[:, 0, :]
     mask_tokens_out = hs[:, 1:1 + nt, :]
 
@@ -178,10 +192,12 @@ def apply(params: dict, cfg: MaskDecoderConfig,
           image_embeddings: jnp.ndarray, image_pe: jnp.ndarray,
           sparse_prompt_embeddings: jnp.ndarray,
           dense_prompt_embeddings: jnp.ndarray,
-          multimask_output: bool, dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndarray]:
+          multimask_output: bool, dtype=jnp.float32,
+          image_shared: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Reference ``MaskDecoder.forward`` (mask_decoder.py:71-110)."""
     masks, iou_pred = predict_masks(params, cfg, image_embeddings, image_pe,
                                     sparse_prompt_embeddings,
-                                    dense_prompt_embeddings, dtype)
+                                    dense_prompt_embeddings, dtype,
+                                    image_shared=image_shared)
     sl = slice(1, None) if multimask_output else slice(0, 1)
     return masks[:, sl], iou_pred[:, sl]

@@ -88,10 +88,14 @@ class SamModel:
                                            self.cfg.prompt_encoder)
 
     def decode_masks(self, image_embeddings, image_pe, sparse, dense,
-                     multimask_output: bool):
+                     multimask_output: bool, image_shared: bool = False):
+        """``image_shared``: static promise that all prompt-batch items decode
+        the same batch-1 image embedding with the no-mask dense default (no
+        per-item mask inputs) — enables the decoder's shared-image layer-0
+        path (numerically identical)."""
         return mask_decoder.apply(self.params["mask_decoder"], self.cfg.mask_decoder,
                                   image_embeddings, image_pe, sparse, dense,
-                                  multimask_output)
+                                  multimask_output, image_shared=image_shared)
 
     def postprocess_masks(self, masks, input_size, original_size):
         return postprocess_masks(self.cfg, masks, input_size, original_size)

@@ -201,3 +201,42 @@ def test_batched_decode_logits_match_sequential(head):
                                    atol=2e-4)
         np.testing.assert_allclose(np.asarray(iou2_b[i]), np.asarray(iou2_s[0]),
                                    atol=2e-5)
+
+
+def test_decoder_image_shared_matches_broadcast():
+    """The shared-image layer-0 decoder path (refinement round 1 / AMG) is
+    the same math as broadcasting the image rows across the prompt batch:
+    identical projections, attention folded over the class axis with shared
+    k/v.  Logits must agree to fp tolerance."""
+    import jax
+    import jax.numpy as jnp
+
+    from samcarriestheburden_tpu.models import mask_decoder, prompt_encoder
+
+    cfg = sam_vit_t_config()
+    key = jax.random.PRNGKey(0)
+    kd, kp, kf, kc = jax.random.split(key, 4)
+    dec_p = mask_decoder.init(kd, cfg.mask_decoder)
+    pe_p = prompt_encoder.init(kp, cfg.prompt_encoder)
+    g = cfg.prompt_encoder.image_embedding_size[0]
+    c = cfg.mask_decoder.transformer_dim
+    b, n = 5, 3
+
+    features = jax.random.normal(kf, (1, c, g, g), jnp.float32)
+    coords = jax.random.uniform(kc, (b, n, 2), jnp.float32) * 64
+    labels = jnp.tile(jnp.asarray([[1, 0, -1]], jnp.int32), (b, 1))
+    sparse = prompt_encoder.embed_unified_points(pe_p, cfg.prompt_encoder,
+                                                 coords, labels)
+    image_pe = prompt_encoder.get_dense_pe(pe_p, cfg.prompt_encoder)
+    dense1 = prompt_encoder.no_mask_dense(pe_p, cfg.prompt_encoder, 1)
+    denseb = jnp.broadcast_to(dense1, (b,) + dense1.shape[1:])
+
+    ref_masks, ref_iou = mask_decoder.apply(
+        dec_p, cfg.mask_decoder, features, image_pe, sparse, denseb, False)
+    sh_masks, sh_iou = mask_decoder.apply(
+        dec_p, cfg.mask_decoder, features, image_pe, sparse, dense1, False,
+        image_shared=True)
+    np.testing.assert_allclose(np.asarray(sh_masks), np.asarray(ref_masks),
+                               atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(sh_iou), np.asarray(ref_iou),
+                               atol=1e-4, rtol=1e-4)
