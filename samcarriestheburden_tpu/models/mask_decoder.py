@@ -60,8 +60,15 @@ def _upscale_hyper_preshuffle(up: dict, src_out: jnp.ndarray,
     rows = b * h * w
     x2 = src_out.reshape(rows, c)
 
+    # Stored ConvTranspose kernels are SPATIALLY FLIPPED for the
+    # lax.conv_transpose convention (models/convert._conv_t w[::-1, ::-1],
+    # and conv_transpose_init matches it); direct pixel-shuffle placement
+    # needs the torch orientation out[2h+dy, 2w+dx] += x[h, w] · W[dy, dx],
+    # so un-flip here.  (Caught by the reference-torch protocol parity test:
+    # without this both shuffles mirror, i.e. every 4x4 output block was
+    # spatially reversed — tests/test_reference_parity.py.)
     # convT1 -> (rows, 4·c4): W1r[ci, g1·c4 + o] = W1[dy1, dx1, ci, o]
-    w1 = up["up1"]["w"].astype(dt)                       # (2, 2, C, C//4)
+    w1 = up["up1"]["w"][::-1, ::-1].astype(dt)           # (2, 2, C, C//4)
     w1r = jnp.transpose(w1, (2, 0, 1, 3)).reshape(c, 4 * c4)
     y = x2 @ w1r
     if "b" in up["up1"]:
@@ -77,7 +84,7 @@ def _upscale_hyper_preshuffle(up: dict, src_out: jnp.ndarray,
     y = gelu(yn).reshape(rows, 4 * c4).astype(dt)
 
     # convT2 as ONE block-diagonal matmul: (rows, 4·c4) @ (4·c4, 16·c8)
-    w2 = up["up2"]["w"].astype(dt)                       # (2, 2, C//4, C//8)
+    w2 = up["up2"]["w"][::-1, ::-1].astype(dt)           # (2, 2, C//4, C//8)
     w2r = jnp.transpose(w2, (2, 0, 1, 3)).reshape(c4, 4 * c8)
     w2big = jnp.kron(jnp.eye(4, dtype=dt), w2r)          # (4·c4, 16·c8)
     z = y @ w2big

@@ -95,6 +95,10 @@ def embed_unified_points(params: dict, cfg: PromptEncoderConfig,
     Returns (B, N, embed_dim).
     """
     coords = coords.astype(jnp.float32) + 0.5
+    # Accept float label arrays too: the reference casts with torch.int at the
+    # predictor layer (predictor.py:144) but its Sam.forward takes whatever the
+    # caller built; indexing requires ints, so normalise here (free under jit).
+    labels = labels.astype(jnp.int32)
     pe = pe_with_coords(params, coords, cfg.input_image_size)
     type_emb = params["point_embeddings"][jnp.clip(labels, 0, 3)]
     is_pad = (labels == -1)[..., None]

@@ -52,10 +52,12 @@ def test_mask_decoder_parity(multi):
                                     g["img_pe"], g["sparse"], g["dense"],
                                     multimask_output=multi)
     suffix = "multi" if multi else "single"
-    # 5e-4: the pre-shuffle matmul upscale (mask_decoder._upscale_hyper_
-    # preshuffle) contracts the same values in a different order than torch's
-    # ConvTranspose2d chain — pure fp32 reassociation noise on ~O(10) logits
-    np.testing.assert_allclose(np.asarray(masks), g[f"masks_{suffix}"], atol=5e-4)
+    # 1e-5: keep this TIGHT.  The pre-shuffle matmul upscale once hid a 4x4
+    # pixel-mirror bug inside a 5e-4 tolerance on this tiny config (the
+    # stored ConvTranspose kernels are spatially flipped for
+    # lax.conv_transpose; direct shuffle placement must un-flip them) —
+    # found only by the full-size reference-torch protocol test.
+    np.testing.assert_allclose(np.asarray(masks), g[f"masks_{suffix}"], atol=1e-5)
     np.testing.assert_allclose(np.asarray(iou), g[f"iou_{suffix}"], atol=2e-5)
 
 

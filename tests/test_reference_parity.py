@@ -109,3 +109,101 @@ def test_vith_logits_vs_reference_torch():
     np.testing.assert_allclose(np.asarray(masks_j), masks_t,
                                atol=2e-3 * max(mscale, 1.0))
     np.testing.assert_allclose(np.asarray(iou_j), iou_t, atol=2e-3)
+
+
+@pytest.mark.slow
+def test_refinement_protocol_vs_reference_torch(tmp_path):
+    """End-to-end parity of the 2-round refinement decode protocol against
+    the reference's OWN torch implementation (sam_mask_decoder_head.py +
+    prompt_utils.py), sharing one embeddings artifact written by OUR
+    EmbeddingWriter (verifying h5 byte-compatibility with their reader):
+
+      PromptExtractor(mask) -> predict_mask(['box'])
+        -> predict_mask(['pos_points','neg_points'], mask_prev_iter=low_res)
+
+    on a synthetic random vit_b checkpoint.  Covers prompt extraction math,
+    coordinate frame scaling, prompt assembly/padding, both decode rounds
+    (incl. the low-res-logit mask feedback) and the 256->1024->crop->original
+    postprocess — the full protocol of SURVEY stack 3.2, not just the model
+    forward."""
+    torch = pytest.importorskip("torch")
+    import types
+
+    for mod, names in (("torchvision", []),
+                       ("torchvision.transforms", []),
+                       ("torchvision.transforms.functional",
+                        ["resize", "to_pil_image"]),
+                       ("torchvision.ops", []),
+                       ("torchvision.ops.boxes", ["batched_nms", "box_area"])):
+        if mod not in sys.modules:
+            m = types.ModuleType(mod)
+            for nm in names:
+                setattr(m, nm, None)
+            sys.modules[mod] = m
+    sys.path.insert(0, "/root/reference")
+    try:
+        from segment_anything import sam_model_registry as ref_registry
+        from segment_anything.sam_mask_decoder_head import \
+            SAMMaskDecoderHead as RefHead
+        from segment_anything.utils.prompt_utils import \
+            PromptExtractor as RefExtractor
+    finally:
+        sys.path.remove("/root/reference")
+
+    from samcarriestheburden_tpu.data.h5io import EmbeddingWriter
+    from samcarriestheburden_tpu.engine.decoder_head import SamMaskDecoderHead
+    from samcarriestheburden_tpu.engine.prompts import PromptExtractor
+
+    torch.manual_seed(0)
+    ref_sam = ref_registry["vit_b"](checkpoint=None)
+    ckpt = tmp_path / "sam_vit_b_synth.pth"
+    torch.save(ref_sam.state_dict(), ckpt)
+    del ref_sam
+
+    rng = np.random.default_rng(7)
+    features = rng.standard_normal((1, 256, 64, 64)).astype(np.float32)
+    original_size = np.asarray([768, 512])
+    input_size = np.asarray([1024, 683])  # ResizeLongestSide(768,512 -> 1024)
+    h5 = tmp_path / "emb.h5"
+    with EmbeddingWriter(h5, ckpt.name, 1024) as wr:
+        wr.write("img0", features, original_size, input_size)
+
+    ref_head = RefHead(ckpt, "vit_b", "cpu", h5)
+    our_head = SamMaskDecoderHead(ckpt, "vit_b", h5)
+
+    # synthetic U-Net-style prediction: 3 blobs + 1 empty class
+    mask = np.zeros((4, 384, 224), bool)
+    yy, xx = np.mgrid[:384, :224]
+    for c, (cy, cx, ry, rx) in enumerate([(100, 60, 45, 25),
+                                          (210, 120, 60, 30),
+                                          (320, 80, 30, 40)]):
+        mask[c] = ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2 < 1.0
+
+    ref_prompts = RefExtractor(torch.from_numpy(mask)).extract()
+    our_prompts = PromptExtractor(mask).extract()
+    assert len(ref_prompts) == len(our_prompts) == 3
+
+    for rp, op in zip(ref_prompts, our_prompts):
+        assert rp.class_idx == op.class_idx
+        np.testing.assert_array_equal(rp.pos_seeds.numpy(), op.pos_seeds)
+        np.testing.assert_array_equal(
+            np.sort(rp.neg_seeds.numpy(), axis=0), np.sort(op.neg_seeds, axis=0))
+        np.testing.assert_array_equal(rp.box.numpy(), op.box)
+
+        rm1, riou1, rlow1 = ref_head.predict_mask("img0", rp, ["box"])
+        rm2, riou2, rlow2 = ref_head.predict_mask(
+            "img0", rp, ["pos_points", "neg_points"], mask_prev_iter=rlow1)
+        om1, oiou1, olow1 = our_head.predict_mask("img0", op, ["box"])
+        om2, oiou2, olow2 = our_head.predict_mask(
+            "img0", op, ["pos_points", "neg_points"], mask_prev_iter=olow1)
+
+        for rlow, olow in ((rlow1, olow1), (rlow2, olow2)):
+            rl = rlow.numpy()
+            scale = max(np.abs(rl).max(), 1.0)
+            np.testing.assert_allclose(np.asarray(olow), rl,
+                                       atol=2e-3 * scale)
+        np.testing.assert_allclose(np.asarray(oiou1), riou1.numpy(), atol=2e-3)
+        np.testing.assert_allclose(np.asarray(oiou2), riou2.numpy(), atol=2e-3)
+        for rm, om in ((rm1, om1), (rm2, om2)):
+            agree = np.mean(rm.numpy() == np.asarray(om))
+            assert agree > 0.999, f"mask agreement {agree}"
