@@ -232,6 +232,8 @@ def main():
     # representative U-Net output: one elongated soft blob per class.
     # DISTINCT images per batch slot — the vmapped CCL runs to the slowest
     # image's convergence, so tiling one image would understate the cost.
+    # Embeddings are per-slot distinct too (production sweeps decode a
+    # different image per slot; shapes are what matter, but keep it honest).
     yy, xx = np.mgrid[: seg_hw[0], : seg_hw[1]]
     prob = np.zeros((eb, N_CLASSES) + tuple(seg_hw), np.float32)
     for i in range(eb):
@@ -240,12 +242,15 @@ def main():
             ry, rx = rng.uniform(0.1, 0.3) * seg_hw[0], rng.uniform(0.05, 0.2) * seg_hw[1]
             d2 = ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2
             prob[i, c] = np.clip(1.2 - d2, 0, 1)
+    feats_b = jnp.asarray(rng.standard_normal(
+        (eb,) + features.shape), jnp.float32)
     tile = (lambda a: jnp.tile(jnp.asarray(a)[None],
                                (eb,) + (1,) * np.ndim(a))) if eb > 1 \
         else (lambda a: jnp.asarray(a))
     t_enhance = _time_it(enhance_full,
                          jnp.asarray(prob if eb > 1 else prob[0]),
-                         tile(features), tile(np.asarray(input_size)),
+                         feats_b if eb > 1 else feats_b[0],
+                         tile(np.asarray(input_size)),
                          tile(np.asarray(original_size)),
                          iters=args.iters, warmup=2) / eb
 

@@ -88,7 +88,8 @@ def random_walk_probs(img: jnp.ndarray, initial_segmentation: jnp.ndarray,
 
 def random_walk(img: jnp.ndarray, initial_segmentation: jnp.ndarray,
                 *, background_erosion_radius: int = 12, sigma: float = 10.0,
-                lam: float = 1.0) -> jnp.ndarray:
+                lam: float = 1.0, tol: float = 1e-3,
+                maxiter: int = 600) -> jnp.ndarray:
     """Reference ``random_walk`` (utils/random_walk.py:90-126): add an eroded
     background class, solve, drop background.  img: (H, W) uint8;
     initial_segmentation: (C, H, W) bool.  Returns (C, H, W) probabilities."""
@@ -99,5 +100,6 @@ def random_walk(img: jnp.ndarray, initial_segmentation: jnp.ndarray,
         background = erode_mask_with_disc_struct(
             background[None], radius=background_erosion_radius)[0]
     full = jnp.concatenate([background[None], seg], axis=0)
-    probs = random_walk_probs(jnp.asarray(img), full, sigma=sigma, lam=lam)
+    probs = random_walk_probs(jnp.asarray(img), full, sigma=sigma, lam=lam,
+                              tol=tol, maxiter=maxiter)
     return probs[1:]
