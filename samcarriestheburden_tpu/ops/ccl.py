@@ -236,6 +236,28 @@ def connected_components_pallas(mask: jnp.ndarray, num_iterations: int,
     return labels
 
 
+def _topk_two_phase(v: jnp.ndarray, k: int, row: int = 2048) -> jnp.ndarray:
+    """Values of ``lax.top_k(v, k)[0]`` (order not guaranteed) via a two-phase
+    selection: top-k along the rows of a (S, row) reshape, then top-k over the
+    S*k survivors.  EXACT — if x is among the global top-k, at most k-1
+    elements exceed it anywhere, so at most k-1 exceed it within its own row
+    and it survives phase 1.  Replacing one long sort with S short parallel
+    ones measures ~30% faster on v5e at the (86016,) production shape
+    (tools/exp_topk.py); zero-padding to a row multiple is safe because the
+    callers' sentinel for "not a candidate" is 0.
+    """
+    n = v.shape[-1]
+    if n <= 2 * row:
+        return jax.lax.top_k(v, k)[0]
+    pad = (-n) % row
+    if pad:
+        v = jnp.pad(v, [(0, 0)] * (v.ndim - 1) + [(0, pad)])
+    rows = v.reshape(*v.shape[:-1], (n + pad) // row, row)
+    part, _ = jax.lax.top_k(rows, min(k, row))
+    cand, _ = jax.lax.top_k(part.reshape(*v.shape[:-1], -1), k)
+    return cand
+
+
 @partial(jax.jit, static_argnames=("selection", "num_iter", "max_components",
                                    "method"))
 def remove_all_but_one_connected_component(prob_mask: jnp.ndarray, selection: str,
@@ -296,7 +318,7 @@ def remove_all_but_one_connected_component(prob_mask: jnp.ndarray, selection: st
         flat_prob = prob.reshape(-1)
         init = jnp.arange(h * w, dtype=jnp.int32) + 1
         roots = jnp.where(flat_lbl == init, flat_lbl, 0)     # 0 = not a root
-        cand, _ = jax.lax.top_k(roots, k)                     # (K,) labels
+        cand = _topk_two_phase(roots, k)                      # (K,) labels
         hit = (flat_lbl[None, :] == cand[:, None]) & (cand[:, None] > 0)
         hit = hit.astype(jnp.float32)                         # (K, HW)
         areas = jnp.sum(hit, axis=1)

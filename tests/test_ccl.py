@@ -188,3 +188,30 @@ def test_many_components_selection_exact_within_cap():
         prob, "largest", h * w))
     assert out[0, 5, 5] > 0            # winner kept
     assert (out[0, 12:, 12:] == 0).all()  # all specks removed
+
+
+def test_topk_two_phase_matches_lax_topk():
+    """The two-phase candidate selection returns exactly lax.top_k's VALUE
+    set, including when all k survivors cluster in one row (the phase-1
+    worst case) and when zero-padding to the row multiple kicks in."""
+    import jax
+    import jax.numpy as jnp
+
+    from samcarriestheburden_tpu.ops.ccl import _topk_two_phase
+
+    rng = np.random.default_rng(7)
+    n, k, row = 86016, 256, 2048
+    cases = []
+    sparse = np.zeros(n, np.int32)                       # production-like
+    idx = rng.choice(n, 300, replace=False)
+    sparse[idx] = idx + 1
+    cases.append(sparse)
+    clustered = np.zeros(n, np.int32)                    # all in one row
+    clustered[:400] = np.arange(1, 401)
+    cases.append(clustered)
+    cases.append(rng.integers(0, 5, n).astype(np.int32))  # heavy duplicates
+    odd = rng.integers(0, n, n - 1000).astype(np.int32)   # padding path
+    for v in cases + [odd]:
+        got = np.sort(np.asarray(_topk_two_phase(jnp.asarray(v), k, row)))
+        ref = np.sort(np.asarray(jax.lax.top_k(jnp.asarray(v), k)[0]))
+        np.testing.assert_array_equal(got, ref)
