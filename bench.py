@@ -96,7 +96,7 @@ def main():
     import jax.numpy as jnp
 
     from samcarriestheburden_tpu.config import N_CLASSES
-    from samcarriestheburden_tpu.engine.embeddings import make_encode_batch
+    from samcarriestheburden_tpu.engine.embeddings import make_serving_encoder
     from samcarriestheburden_tpu.models import mask_decoder, prompt_encoder
 
     model_name = "vit_t" if args.smoke else args.model
@@ -134,15 +134,8 @@ def main():
     if args.quantize == "none":
         args.quantize = None
     quantize = None if args.smoke else args.quantize
-    encode = make_encode_batch(model, dtype=dtype, attention_impl=attention_impl,
-                               quantize=quantize)
-    encode_params = model.params
-    if quantize == "int8":
-        # one-time weight prequantization OUTSIDE the serving loop (in-jit
-        # quantization re-scans 0.6B params per forward — VERDICT round 2)
-        from samcarriestheburden_tpu.models.quantize import prequantize_sam
-
-        encode_params = prequantize_sam(model.params, model.cfg)
+    encode, encode_params = make_serving_encoder(
+        model, dtype, attention_impl=attention_impl, quantize=quantize)
     imgs = jnp.asarray(rng.integers(0, 255, (batch, 3, size, size)), jnp.uint8)
     sizes = jnp.tile(jnp.asarray([[size, int(size * 0.7)]], jnp.int32), (batch, 1))
     t_encode = _time_it(lambda a, b, p: encode(p, a, b), imgs, sizes,
@@ -218,16 +211,22 @@ def main():
     enh = SegEnhance(refiner, "highest_probability", "dilation", "square", 8)
     num_iter = max(seg_hw)
 
-    def enhance_one(prob_seg, feats, inp, orig):
-        seg = remove_all_but_one_connected_component(
-            prob_seg, "highest_probability", num_iter)
+    def enhance_one(seg, feats, inp, orig):
         morphed = enh._morph(seg)  # reference side-buffer — real cost
         refined, est = refiner._refine_batched(
             seg.astype(bool), feats, inp, orig, seg_hw)
         return refined, est, morphed
 
     eb = 1 if args.smoke else args.enhance_batch
-    enhance_full = jax.jit(jax.vmap(enhance_one) if eb > 1 else enhance_one)
+
+    @jax.jit
+    def enhance_full(prob_segs, feats, inps, origs):
+        # CCL takes the whole (N, C, H, W) batch — vmapping it would turn
+        # its exactness lax.cond into a both-branches select (ops/ccl.py)
+        segs = remove_all_but_one_connected_component(
+            prob_segs, "highest_probability", num_iter)
+        return (jax.vmap(enhance_one) if eb > 1 else enhance_one)(
+            segs, feats, inps, origs)
 
     # representative U-Net output: one elongated soft blob per class.
     # DISTINCT images per batch slot — the vmapped CCL runs to the slowest
@@ -341,7 +340,7 @@ def main():
             "attention": args.attention,
             "encoder_dtype": str(dtype.__name__ if hasattr(dtype, "__name__")
                                  else dtype),
-            "quantize": args.quantize,
+            "quantize": quantize,  # resolved mode (--smoke forces None)
             "platform": jax.devices()[0].platform,
         },
     }

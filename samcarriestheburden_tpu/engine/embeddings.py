@@ -119,6 +119,29 @@ def make_encode_batch_medsam(model: SamModel, dtype=jnp.bfloat16,
     return encode
 
 
+def make_serving_encoder(model: SamModel, dtype=jnp.bfloat16, *,
+                         attention_impl=None, quantize=None,
+                         medsam: bool = False):
+    """(encode_fn, ready-to-serve params) pair for the batched encoder.
+
+    ``quantize='int8'`` requires the 0.6B encoder weights to be prequantized
+    ONCE outside the jitted serving loop (in-jit quantization re-scans every
+    param per forward — VERDICT round 2); pairing the fn with its params here
+    makes forgetting that step impossible.  For other modes the params are
+    ``model.params`` unchanged."""
+    if medsam:
+        encode = make_encode_batch_medsam(model, dtype, quantize=quantize)
+    else:
+        encode = make_encode_batch(model, dtype, attention_impl=attention_impl,
+                                   quantize=quantize)
+    params = model.params
+    if quantize == "int8":
+        from samcarriestheburden_tpu.models.quantize import prequantize_sam
+
+        params = prequantize_sam(model.params, model.cfg)
+    return encode, params
+
+
 def precompute_embeddings(model: SamModel, image_files: Sequence,
                           out_h5, checkpoint_name: str, *,
                           batch_size: int = 8, dtype=jnp.bfloat16,
@@ -149,15 +172,9 @@ def precompute_embeddings(model: SamModel, image_files: Sequence,
 
         timer = PhaseTimer(sync=False)  # no-op accounting
     size = model.img_size
-    encode = (make_encode_batch_medsam(model, dtype, quantize=quantize)
-              if medsam
-              else make_encode_batch(model, dtype, quantize=quantize))
-    encode_params = model.params
-    if quantize == "int8":
-        # int8 serving mode: quantize the 0.6B encoder weights ONCE up front
-        from samcarriestheburden_tpu.models.quantize import prequantize_sam
-
-        encode_params = prequantize_sam(model.params, model.cfg)
+    encode, encode_params = make_serving_encoder(model, dtype,
+                                                 quantize=quantize,
+                                                 medsam=medsam)
     files: List[Path] = [Path(f) for f in image_files]
 
     def load_chunk(chunk):

@@ -93,10 +93,10 @@ class SegEnhance:
         assert segs.ndim == 4, "segs should be 4D (N, C, H, W)"
         num_iter = max(segs.shape[-2:])
         if self.ccl_selection is not None:
-            segs = jax.vmap(
-                lambda s: remove_all_but_one_connected_component(
-                    s.astype(jnp.float32), self.ccl_selection, num_iter)
-            )(segs)
+            # batched (N, C, H, W) call, NOT vmap: keeps the op's exactness
+            # lax.cond scalar so only one selection branch executes
+            segs = remove_all_but_one_connected_component(
+                segs.astype(jnp.float32), self.ccl_selection, num_iter)
         self.last_preprocessed_seg = jax.vmap(self._morph)(
             segs.astype(jnp.float32))
         return self.refiner.refine_batch(segs, file_names)

@@ -223,7 +223,10 @@ def ln_mlp_residual_int8_xla(x, ln_scale, ln_bias, w1q, s1, b1, w2q, s2, b2,
     of-magnitude slower) interpreter."""
     xf = x.astype(jnp.float32)
     if add is not None:
-        xf = xf + add.astype(jnp.float32)
+        # fused_ln_mlp_residual_int8 ships `add` to the kernel in x.dtype
+        # (one operand layout); round the same way so kernel == mirror stays
+        # bit-equivalent by construction even for mixed-dtype callers.
+        xf = xf + add.astype(x.dtype).astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
     xn = (xf - mean) * jax.lax.rsqrt(var + eps)

@@ -266,6 +266,13 @@ def remove_all_but_one_connected_component(prob_mask: jnp.ndarray, selection: st
                                            method: str = "auto") -> jnp.ndarray:
     """Keep one connected component per class of a (C, H, W) probability mask.
 
+    Also accepts an (N, C, H, W) image batch (folded into the class axis —
+    propagation and selection are per-map).  Batched callers MUST pass the
+    batch in rather than ``jax.vmap``-ing the (C, H, W) form: under vmap the
+    exactness ``lax.cond`` below lowers to a select that executes BOTH
+    branches, so every image would pay the scatter-histogram fallback
+    (measured 107.6 -> 23.9 img/s on the v5e enhance leg).
+
     ``selection``: 'largest' (by pixel area) or 'highest_probability' (by mean
     probability).  Returns the probability mask zeroed outside the winning
     component, like the reference (segmentation_preprocessing.py:50-51
@@ -279,19 +286,25 @@ def remove_all_but_one_connected_component(prob_mask: jnp.ndarray, selection: st
     collects up to ``max_components`` candidate roots and the per-candidate
     area/probability-mass reduce is one broadcast compare + matmul.
 
-    ``max_components`` is the ONLY approximation vs the reference's exact
-    per-component histogram: selection is exact whenever a class has at most
-    that many 8-connected foreground components; beyond it the candidates
-    with the LOWEST root index (top-left-most components) are silently
-    dropped, so an extreme speckle mask could lose its true winner.  The
-    selection stage costs ~linearly in the bound (v5e, (384, 224) maps:
-    K=128 / 256 / 512 -> 3.6 / 3.9 / 4.6 ms/img full-op); 256 is the
-    default safety/throughput compromise — raise it for adversarially
-    fragmented masks.
+    Selection is ALWAYS exact (reference parity): the top-k candidate pass
+    covers every component whenever each class has at most ``max_components``
+    8-connected foreground components, and when any class exceeds the bound
+    the op falls back — via a scalar ``lax.cond`` on the measured root count,
+    so the common case never pays for it — to the full ``segment_sum``
+    histogram over all label ids (the scatter-based path, ~2x12.7 ms/img on
+    v5e, which is why it is not the default).  The candidate stage costs
+    ~linearly in the bound (v5e, (384, 224) maps: K=128 / 256 / 512 ->
+    3.6 / 3.9 / 4.6 ms/img full-op); 256 keeps speckle-free production masks
+    on the fast path while extreme fragmentation silently switches to exact
+    rather than silently dropping components.
     """
-    assert prob_mask.ndim == 3, "segmentation_mask should be 3D tensor of shape (C, H, W)"
+    assert prob_mask.ndim in (3, 4), \
+        "segmentation_mask should be (C, H, W) or (N, C, H, W)"
     if selection not in ("largest", "highest_probability"):
         raise NotImplementedError(f"Invalid selection: {selection}")
+    batch_shape = prob_mask.shape
+    if prob_mask.ndim == 4:
+        prob_mask = prob_mask.reshape((-1,) + batch_shape[-2:])
     c, h, w = prob_mask.shape
     # Run propagation TO CONVERGENCE (bound h·w is the absolute worst case;
     # the while-loop early-exits at the fixpoint, so real masks pay exactly
@@ -312,24 +325,51 @@ def remove_all_but_one_connected_component(prob_mask: jnp.ndarray, selection: st
         labels = connected_components(prob_mask.astype(jnp.float32),
                                       max(num_iter, h * w), method=method)
     k = min(max_components, h * w)
+    flat_lbl = labels.reshape(c, h * w)
+    flat_prob = prob_mask.reshape(c, h * w).astype(jnp.float32)
+    init = jnp.arange(h * w, dtype=jnp.int32) + 1
+    roots = jnp.where(flat_lbl == init[None, :], flat_lbl, 0)  # 0 = not a root
 
-    def per_class(lbl, prob):
-        flat_lbl = lbl.reshape(-1)
-        flat_prob = prob.reshape(-1)
-        init = jnp.arange(h * w, dtype=jnp.int32) + 1
-        roots = jnp.where(flat_lbl == init, flat_lbl, 0)     # 0 = not a root
-        cand = _topk_two_phase(roots, k)                      # (K,) labels
-        hit = (flat_lbl[None, :] == cand[:, None]) & (cand[:, None] > 0)
-        hit = hit.astype(jnp.float32)                         # (K, HW)
-        areas = jnp.sum(hit, axis=1)
-        if selection == "largest":
-            metric = areas
-        else:
-            sums = hit @ flat_prob
-            metric = sums / jnp.maximum(areas, 1.0)
-        metric = jnp.where((cand > 0) & (areas > 0), metric, -jnp.inf)
-        winner = cand[jnp.argmax(metric)]
-        keep = (lbl == winner) & (lbl > 0)
-        return keep.astype(prob.dtype) * prob
+    def topk_winners(_):
+        def per_class(rts, lbl, prob):
+            cand = _topk_two_phase(rts, k)                    # (K,) labels
+            hit = (lbl[None, :] == cand[:, None]) & (cand[:, None] > 0)
+            hit = hit.astype(jnp.float32)                     # (K, HW)
+            areas = jnp.sum(hit, axis=1)
+            if selection == "largest":
+                metric = areas
+            else:
+                sums = hit @ prob
+                metric = sums / jnp.maximum(areas, 1.0)
+            metric = jnp.where((cand > 0) & (areas > 0), metric, -jnp.inf)
+            return cand[jnp.argmax(metric)]
 
-    return jax.vmap(per_class)(labels, prob_mask)
+        return jax.vmap(per_class)(roots, flat_lbl, flat_prob)
+
+    def exact_winners(_):
+        # Reference-exact per-label histogram (segmentation_preprocessing.py
+        # :24-44 semantics).  Scatter-based, so ~2x12.7 ms/img on v5e — only
+        # reached when some class has more than `k` components.
+        def per_class(lbl, prob):
+            areas = jax.ops.segment_sum(jnp.ones_like(prob), lbl,
+                                        num_segments=h * w + 1)
+            if selection == "largest":
+                metric = areas
+            else:
+                sums = jax.ops.segment_sum(prob, lbl, num_segments=h * w + 1)
+                metric = sums / jnp.maximum(areas, 1.0)
+            valid = (areas > 0) & (jnp.arange(h * w + 1) > 0)  # 0 = background
+            metric = jnp.where(valid, metric, -jnp.inf)
+            return jnp.argmax(metric).astype(jnp.int32)
+
+        return jax.vmap(per_class)(flat_lbl, flat_prob)
+
+    if k >= h * w:
+        winners = topk_winners(None)                          # always exact
+    else:
+        n_roots_max = jnp.max(jnp.sum((roots > 0).astype(jnp.int32), axis=1))
+        winners = jax.lax.cond(n_roots_max <= k, topk_winners, exact_winners,
+                               operand=None)
+    keep = (labels == winners[:, None, None]) & (labels > 0)
+    out = keep.astype(prob_mask.dtype) * prob_mask
+    return out.reshape(batch_shape)

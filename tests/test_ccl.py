@@ -190,6 +190,42 @@ def test_many_components_selection_exact_within_cap():
     assert (out[0, 12:, 12:] == 0).all()  # all specks removed
 
 
+def test_selection_exact_beyond_cap():
+    """More components than max_components, true winner top-left (the first
+    root the candidate top_k would drop): the scalar-cond fallback to the
+    exact segment_sum histogram must still select it, for both selection
+    modes (reference segmentation_preprocessing.py:24-44 is always exact)."""
+    h, w = 96, 96
+    prob = np.zeros((1, h, w), np.float32)
+    prob[0, 2:10, 2:10] = 0.9          # 64-px winner, lowest root index
+    n_specks = 0
+    for r in range(12, 92, 4):         # 20 x 20 = 400 single-pixel specks
+        for c in range(12, 92, 4):
+            prob[0, r, c] = 0.6
+            n_specks += 1
+    assert n_specks > 64               # exceeds the test cap below
+    for selection in ("largest", "highest_probability"):
+        out = np.asarray(remove_all_but_one_connected_component(
+            prob, selection, h * w, max_components=64))
+        assert out[0, 5, 5] > 0, selection           # winner kept
+        assert (out[0, 12:, 12:] == 0).all(), selection
+
+
+def test_batched_input_matches_per_image():
+    """(N, C, H, W) batched call == stacked (C, H, W) calls — the batched
+    form exists so production sweeps don't vmap over the exactness cond
+    (ops/ccl.py docstring)."""
+    rng = np.random.default_rng(3)
+    probs = (rng.random((4, 3, 40, 48)) > 0.6).astype(np.float32) \
+        * rng.random((4, 3, 40, 48)).astype(np.float32)
+    for selection in ("largest", "highest_probability"):
+        batched = np.asarray(remove_all_but_one_connected_component(
+            probs, selection, 48))
+        single = np.stack([np.asarray(remove_all_but_one_connected_component(
+            p, selection, 48)) for p in probs])
+        np.testing.assert_array_equal(batched, single)
+
+
 def test_topk_two_phase_matches_lax_topk():
     """The two-phase candidate selection returns exactly lax.top_k's VALUE
     set, including when all k survivors cluster in one row (the phase-1

@@ -30,7 +30,7 @@ def main():
     import jax.numpy as jnp
 
     from samcarriestheburden_tpu import config as _config
-    from samcarriestheburden_tpu.engine.embeddings import make_encode_batch
+    from samcarriestheburden_tpu.engine.embeddings import make_serving_encoder
     from samcarriestheburden_tpu.models.sam import SamModel, init as sam_init
 
     cfg = getattr(_config, f"sam_{args.model}_config")()
@@ -39,14 +39,8 @@ def main():
     model = SamModel(cfg=cfg, params=params)
     size = model.img_size
 
-    encode = make_encode_batch(model, dtype=jnp.bfloat16,
-                               quantize=args.quantize)
-    if args.quantize == "int8":
-        from samcarriestheburden_tpu.models.quantize import prequantize_sam
-
-        params = prequantize_sam(model.params, model.cfg)
-    else:
-        params = model.params
+    encode, params = make_serving_encoder(model, jnp.bfloat16,
+                                          quantize=args.quantize)
 
     rng = np.random.default_rng(0)
     imgs = jnp.asarray(rng.integers(0, 255, (args.batch, 3, size, size)),

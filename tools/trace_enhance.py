@@ -61,16 +61,21 @@ def main():
     enh = SegEnhance(refiner, "highest_probability", "dilation", "square", 8)
     num_iter = max(seg_hw)
 
-    def enhance_one(prob_seg, feats, inp, orig):
-        seg = remove_all_but_one_connected_component(
-            prob_seg, "highest_probability", num_iter)
+    def enhance_one(seg, feats, inp, orig):
         morphed = enh._morph(seg)
         refined, est = refiner._refine_batched(
             seg.astype(bool), feats, inp, orig, seg_hw)
         return refined, est, morphed
 
     eb = args.eb
-    enhance_full = jax.jit(jax.vmap(enhance_one) if eb > 1 else enhance_one)
+
+    @jax.jit
+    def enhance_full(prob_segs, feats, inps, origs):
+        # whole-batch CCL call — vmap would run both exactness-cond branches
+        segs = remove_all_but_one_connected_component(
+            prob_segs, "highest_probability", num_iter)
+        return (jax.vmap(enhance_one) if eb > 1 else enhance_one)(
+            segs, feats, inps, origs)
 
     rng = np.random.default_rng(0)
     yy, xx = np.mgrid[: seg_hw[0], : seg_hw[1]]
