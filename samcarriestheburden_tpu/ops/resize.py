@@ -116,11 +116,24 @@ def pad_bottom_right(image: jnp.ndarray, out_hw: Tuple[int, int],
 def resize_longest_side_np(image: np.ndarray, target_length: int) -> np.ndarray:
     """Host-side uint8 HWC image resize to longest-side ``target_length``.
 
-    The reference uses PIL's antialiased bilinear (transforms.py:26-31); we use
-    the same triangle-filter resize via jax.image on host (antialias=True),
-    which matches PIL within quantisation tolerance.
+    The reference resizes via PIL's antialiased bilinear (torchvision
+    ``resize(to_pil_image(image), target_size)``, transforms.py:26-31); for
+    uint8 inputs this calls PIL directly — BIT-EXACT reference parity and
+    ~20x faster on host than dispatching the triangle filter through jax
+    (which, under a TPU-default backend, would also ship every image through
+    the device tunnel and recompile per unique source shape).  Non-uint8 /
+    non-PIL-representable inputs fall back to the jax.image triangle filter,
+    which matches PIL within 1 uint8 LSB (tests/test_resize.py).
     """
     newh, neww = get_preprocess_shape(image.shape[0], image.shape[1], target_length)
+    if image.dtype == np.uint8 and (image.ndim == 2 or
+                                    (image.ndim == 3 and image.shape[2] in (1, 3))):
+        from PIL import Image
+
+        squeezed = image[..., 0] if (image.ndim == 3 and image.shape[2] == 1) else image
+        out = np.asarray(Image.fromarray(squeezed).resize((neww, newh),
+                                                          Image.BILINEAR))
+        return out[..., None] if (image.ndim == 3 and image.shape[2] == 1) else out
     arr = jnp.asarray(image, jnp.float32)
     if arr.ndim == 3:  # HWC: resize leading two axes
         arr = jnp.moveaxis(arr, -1, 0)
