@@ -28,6 +28,10 @@ parser.add_argument("--cpu", action="store_true")
 parser.add_argument("--convert-to-rle", action="store_true",
                     help="Save masks as COCO RLEs in a single json instead of as PNGs.")
 
+from samcarriestheburden_tpu.cli.common import add_multihost_flags  # noqa: E402
+
+add_multihost_flags(parser)
+
 amg_settings = parser.add_argument_group("AMG Settings")
 for flag, typ in [("--points-per-side", int), ("--points-per-batch", int),
                   ("--pred-iou-thresh", float), ("--stability-score-thresh", float),
@@ -82,12 +86,11 @@ import numpy as np  # noqa: E402
 
 def main(argv=None) -> None:
     args = parser.parse_args(argv)
-    if args.cpu:
-        import jax
-
-        jax.config.update("jax_platforms", "cpu")
+    from samcarriestheburden_tpu.cli.common import setup_backend
+    setup_backend(args)
 
     import cv2
+    import jax
 
     from samcarriestheburden_tpu.engine.amg import SamAutomaticMaskGenerator
     from samcarriestheburden_tpu.models.build import sam_model_registry
@@ -101,9 +104,16 @@ def main(argv=None) -> None:
     if not os.path.isdir(args.input):
         targets = [args.input]
     else:
-        targets = [f for f in os.listdir(args.input)
+        targets = [f for f in sorted(os.listdir(args.input))
                    if not os.path.isdir(os.path.join(args.input, f))]
         targets = [os.path.join(args.input, f) for f in targets]
+    if jax.process_count() > 1:
+        # AMG is embarrassingly parallel per image and its outputs are
+        # per-image files, so multi-host scale-out is pure work sharding —
+        # each process takes a strided slice (no merge step needed)
+        from samcarriestheburden_tpu.parallel.distributed import process_shard
+
+        targets = process_shard(targets)
 
     os.makedirs(args.output, exist_ok=True)
     for t in targets:

@@ -41,13 +41,12 @@ def main(argv=None):
                    help="images per device dispatch (1 = reference-style "
                         "per-image loop); batching amortises the decoder's "
                         "dispatch overhead across the sweep")
-    from samcarriestheburden_tpu.cli.common import add_profile_flag, profiled
+    from samcarriestheburden_tpu.cli.common import (
+        add_multihost_flags, add_profile_flag, profiled, setup_backend)
     add_profile_flag(p)
+    add_multihost_flags(p)
     args = p.parse_args(argv)
-    if args.cpu:
-        import jax
-
-        jax.config.update("jax_platforms", "cpu")
+    setup_backend(args)
 
     import cv2
     import jax
@@ -103,6 +102,14 @@ def main(argv=None):
     id_str = "_".join(args.prompt1st) + "_refine_" + "_".join(args.prompt2nd)
     out = (Path(args.data_root) / "seg_masks" / args.model_id /
            f"sam_{id_str}_{len(files) if args.n_files != '500' else 500}.h5")
+    if jax.process_count() > 1:
+        # multi-host sweep: each process refines its strided slice of the
+        # file list on its local chip(s) (per-image work, no collectives) and
+        # writes <out>.part<p>; merge with data.h5io.merge_mask_shards
+        from samcarriestheburden_tpu.parallel.distributed import process_shard
+
+        files = process_shard(files)
+        out = Path(str(out) + f".part{jax.process_index()}")
 
     with profiled(args.profile) as timer, \
             MaskWriter(out, attrs={"refine_params": json.dumps(refine_params),

@@ -132,3 +132,34 @@ class MaskReader:
 
     def close(self):
         self.f.close()
+
+
+def merge_mask_shards(out_h5, n_processes: int = None,
+                      delete_parts: bool = False) -> Path:
+    """Merge per-process ``<out>.part<p>`` mask files written by a multi-host
+    ``save_refined_segmentations`` sweep into one mask h5 (same schema, file
+    attrs copied from part 0; per-image ``estimated_dice`` attrs preserved).
+    Run on one host after all processes finish — the single-file counterpart
+    of :func:`samcarriestheburden_tpu.engine.embeddings.merge_embedding_shards`."""
+    import glob
+
+    out_h5 = Path(out_h5)
+    parts = sorted(glob.glob(str(out_h5) + ".part*")) if n_processes is None \
+        else [f"{out_h5}.part{p}" for p in range(n_processes)]
+    assert parts, f"no shard files matching {out_h5}.part*"
+    with h5py.File(out_h5, "w") as dst:
+        for i, part in enumerate(parts):
+            with h5py.File(part, "r") as src:
+                if i == 0:
+                    for k, v in src.attrs.items():
+                        dst.attrs[k] = v
+                else:
+                    assert src.attrs["labels"] == dst.attrs["labels"], \
+                        f"shard {part} with different labels"
+                for stem in src.get("segmentation_mask", {}):
+                    src.copy(f"segmentation_mask/{stem}", dst,
+                             f"segmentation_mask/{stem}")
+    if delete_parts:
+        for part in parts:
+            Path(part).unlink()
+    return out_h5

@@ -156,3 +156,27 @@ def test_two_process_training_step():
                           cfg, mesh=mesh)
     loss, _ = trainer.train_epoch(x, y, epoch=0)
     np.testing.assert_allclose(results[("p0", "replicated")], loss, rtol=1e-6)
+
+
+def test_merge_mask_shards(tmp_path):
+    from samcarriestheburden_tpu.data.h5io import (MaskReader, MaskWriter,
+                                                   merge_mask_shards)
+
+    out = tmp_path / "masks.h5"
+    masks = {f"im{i}": np.full((3, 4, 5), i, np.uint8) for i in range(5)}
+    for p in range(2):
+        with MaskWriter(f"{out}.part{p}",
+                        attrs={"model_id": "m0"}) as w:
+            for i, (stem, m) in enumerate(masks.items()):
+                if i % 2 == p:
+                    w.write(stem, m, estimated_dice=np.full(3, i / 10.0))
+    merged = merge_mask_shards(out, delete_parts=True)
+    reader = MaskReader(merged)
+    assert sorted(reader.stems()) == sorted(masks)
+    assert reader.f.attrs["model_id"] == "m0"
+    for i, (stem, m) in enumerate(masks.items()):
+        np.testing.assert_array_equal(reader.masks(stem), m)
+        np.testing.assert_allclose(reader.estimated_dice(stem),
+                                   np.full(3, i / 10.0))
+    reader.close()
+    assert not Path(f"{out}.part0").exists()
