@@ -34,6 +34,11 @@ def main(argv=None):
     p.add_argument("--quantize", choices=["int8"], default=None,
                    help="int8 serving mode: one-time weight prequantization "
                         "+ int8 MXU encoder kernels (models/quantize.py)")
+    p.add_argument("--loader_threads", type=int, default=None,
+                   help="image decode+resize worker threads (default "
+                        "min(8, cpu_count)); the loader prefetches one chunk "
+                        "ahead so the encoder, not host preprocess, paces "
+                        "the pipeline")
     from samcarriestheburden_tpu.cli.common import (
         add_multihost_flags, add_profile_flag, profiled, setup_backend)
     add_profile_flag(p)
@@ -71,7 +76,8 @@ def main(argv=None):
                               mesh=maybe_mesh(args),
                               medsam=(args.sam_type == "medsam"),
                               resume=args.resume, timer=timer,
-                              quantize=args.quantize)
+                              quantize=args.quantize,
+                              loader_threads=args.loader_threads)
     print(f"wrote {out}")
 
 

@@ -147,3 +147,68 @@ def test_select_pseudo_labels(tmp_path, monkeypatch):
     reader = MaskReader(out, check_labels=False)
     assert sorted(reader.stems()) == ["good", "partial"]
     assert out.name == "selected_pseudo_labels_500_dsc_08.h5"
+
+
+def test_refined_segmentations_cli_multihost_equivalence(in_data_root, monkeypatch):
+    """End-to-end `save_refined_segmentations` over the synthetic data root
+    (stages 1+2+4 of the pipeline: train -> embeddings -> refined sweep), then
+    the same sweep re-run as two simulated processes (monkeypatched
+    jax.process_count/index): the sharded parts, merged with
+    merge_mask_shards, must equal the single-process output exactly."""
+    import jax
+    import jax.numpy as jnp
+    import pandas as pd
+
+    from samcarriestheburden_tpu.cli import save_refined_segmentations, train
+    from samcarriestheburden_tpu.config import sam_vit_t_config
+    from samcarriestheburden_tpu.data.h5io import (MaskReader,
+                                                   merge_mask_shards)
+    from samcarriestheburden_tpu.engine.embeddings import precompute_embeddings
+    from samcarriestheburden_tpu.models import convert, modelio
+    from samcarriestheburden_tpu.models.sam import SamModel
+
+    stems = ["img002", "img003", "img005"]
+    pd.DataFrame({"filestem": stems}).to_csv(
+        in_data_root / "500unlabeled_sample.csv")
+
+    model_id = train.main(["--epochs", "1", "--data_sample_per_epoch", "2",
+                           "--batch_size", "2", "--n_last_channel", "4",
+                           "--data_aug", "0"])
+
+    data = np.load(Path(__file__).parent / "golden" / "sam_e2e.npz")
+    sd = {k[3:]: data[k] for k in data.files if k.startswith("sd/")}
+    cfg = sam_vit_t_config()
+    sam = SamModel(cfg=cfg, params=convert.sam_params_from_torch(sd, cfg))
+    ckpt = in_data_root / "tiny.npz"
+    modelio.save_params(ckpt, sam.params)
+    emb = in_data_root / "emb.h5"
+    precompute_embeddings(
+        sam, [in_data_root / "img_only_front_all_left" / f"{s}.png" for s in stems],
+        emb, "tiny.npz", batch_size=2, dtype=jnp.float32, progress=False)
+
+    argv = ["--model_id", model_id, "--n_files", "500",
+            "--sam_checkpoint", str(ckpt), "--sam_model_type", "vit_t",
+            "--embeddings", str(emb), "--img_batch", "2"]
+    save_refined_segmentations.main(argv)
+    out = (in_data_root / "seg_masks" / model_id /
+           "sam_box_refine_pos_points_neg_points_500.h5")
+    assert out.exists()
+    reader = MaskReader(out)
+    assert sorted(reader.stems()) == stems
+    single = {s: (reader.masks(s), reader.estimated_dice(s))
+              for s in stems}
+    reader.close()
+    assert single[stems[0]][0].shape == (17, 384, 224)
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    for p in (0, 1):
+        monkeypatch.setattr(jax, "process_index", lambda p=p: p)
+        save_refined_segmentations.main(argv)
+        assert Path(f"{out}.part{p}").exists()
+    merged = merge_mask_shards(out)
+    reader = MaskReader(merged)
+    assert sorted(reader.stems()) == stems
+    for s in stems:
+        np.testing.assert_array_equal(reader.masks(s), single[s][0])
+        np.testing.assert_allclose(reader.estimated_dice(s), single[s][1])
+    reader.close()
