@@ -104,3 +104,32 @@ def test_resize_longest_side_matches_pil_real_size(rng):
     d = np.abs(ours.astype(np.int32) - pil.astype(np.int32))
     assert d.max() <= 1, d.max()
     assert (d > 0).mean() < 0.2, (d > 0).mean()
+
+
+def test_resize_longest_side_np_shapes_and_dtypes(rng):
+    """The host helper's PIL fast path (uint8 2D / 1ch / 3ch) and the jax
+    fallback (float input) must agree on shape conventions, dtype, and — for
+    the 1ch/2D pair — on values (the 1-channel case squeezes through the same
+    PIL call)."""
+    from samcarriestheburden_tpu.ops.resize import (get_preprocess_shape,
+                                                    resize_longest_side_np)
+
+    gray = rng.integers(0, 255, (200, 120)).astype(np.uint8)
+    newh, neww = get_preprocess_shape(200, 120, 96)
+
+    out2d = resize_longest_side_np(gray, 96)
+    assert out2d.shape == (newh, neww) and out2d.dtype == np.uint8
+
+    out1c = resize_longest_side_np(gray[..., None], 96)
+    assert out1c.shape == (newh, neww, 1)
+    np.testing.assert_array_equal(out1c[..., 0], out2d)
+
+    rgb = np.stack([gray] * 3, -1)
+    out3c = resize_longest_side_np(rgb, 96)
+    assert out3c.shape == (newh, neww, 3)
+    np.testing.assert_array_equal(out3c[..., 0], out2d)
+
+    # non-uint8 input takes the jax triangle-filter fallback: within 1 LSB
+    outf = resize_longest_side_np(gray.astype(np.float32), 96)
+    assert outf.shape == (newh, neww) and outf.dtype == np.uint8
+    assert np.abs(outf.astype(int) - out2d.astype(int)).max() <= 1
