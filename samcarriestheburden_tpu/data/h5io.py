@@ -144,9 +144,19 @@ def merge_mask_shards(out_h5, n_processes: int = None,
     import glob
 
     out_h5 = Path(out_h5)
-    parts = sorted(glob.glob(str(out_h5) + ".part*")) if n_processes is None \
-        else [f"{out_h5}.part{p}" for p in range(n_processes)]
-    assert parts, f"no shard files matching {out_h5}.part*"
+    if n_processes is None:
+        parts = sorted(glob.glob(str(out_h5) + ".part*"))
+        assert parts, f"no shard files matching {out_h5}.part*"
+        # guard against stale shards from an earlier higher-process-count
+        # run being silently merged in (round-3 ADVICE): the matched part
+        # indices must form a contiguous 0..N-1 range
+        idx = sorted(int(Path(p).suffix[len(".part"):]) for p in parts)
+        assert idx == list(range(len(idx))), \
+            (f"shard indices {idx} are not contiguous 0..{len(idx) - 1}: "
+             f"stale .part files from an earlier run? Pass n_processes or "
+             f"delete the extras")
+    else:
+        parts = [f"{out_h5}.part{p}" for p in range(n_processes)]
     with h5py.File(out_h5, "w") as dst:
         for i, part in enumerate(parts):
             with h5py.File(part, "r") as src:

@@ -279,7 +279,8 @@ class SamAutomaticMaskGenerator:
     @staticmethod
     def postprocess_small_regions(mask_data: MaskData, min_area: int,
                                   nms_thresh: float) -> MaskData:
-        """Hole/island removal + re-NMS (reference :323-372); host-side cv2."""
+        """Hole/island removal + re-NMS (reference :323-372); host-side via
+        ops.regions.remove_small_regions (own union-find CCL, no cv2)."""
         from samcarriestheburden_tpu.ops.regions import remove_small_regions
 
         if len(mask_data["rles"]) == 0:

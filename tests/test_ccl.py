@@ -226,6 +226,32 @@ def test_batched_input_matches_per_image():
         np.testing.assert_array_equal(batched, single)
 
 
+def test_tie_breaks_to_smallest_root_in_both_branches():
+    """Equal-metric components must resolve identically in the top-k fast
+    path and the exact segment_sum fallback: smallest root id wins, matching
+    the reference's ascending unique + argmax-first (round-3 ADVICE — top_k
+    orders candidates descending, which used to flip ties)."""
+    h, w = 24, 32
+    prob = np.zeros((2, h, w), np.float32)
+    # class 0: two equal-area equal-probability blobs; the top-left one has
+    # the smaller root id (root = max linear index of the component)
+    prob[0, 2:4, 2:4] = 0.7
+    prob[0, 18:20, 24:26] = 0.7
+    # class 1: enough single-pixel specks to trip a small candidate cap
+    for c in range(2, 26, 4):
+        prob[1, 10, c] = 0.6
+    expect = np.zeros_like(prob[0])
+    expect[2:4, 2:4] = 0.7
+
+    for selection in ("largest", "highest_probability"):
+        fast = np.asarray(remove_all_but_one_connected_component(
+            prob, selection, h * w, max_components=256))  # top-k path
+        exact = np.asarray(remove_all_but_one_connected_component(
+            prob, selection, h * w, max_components=4))    # forced fallback
+        np.testing.assert_array_equal(fast[0], expect, err_msg=selection)
+        np.testing.assert_array_equal(fast, exact, err_msg=selection)
+
+
 def test_topk_two_phase_matches_lax_topk():
     """The two-phase candidate selection returns exactly lax.top_k's VALUE
     set, including when all k survivors cluster in one row (the phase-1

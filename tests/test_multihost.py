@@ -180,3 +180,22 @@ def test_merge_mask_shards(tmp_path):
                                    np.full(3, i / 10.0))
     reader.close()
     assert not Path(f"{out}.part0").exists()
+
+
+def test_merge_mask_shards_rejects_stale_parts(tmp_path):
+    """Auto-globbed shards must form a contiguous 0..N-1 index range — a
+    leftover .part file from an earlier higher-process-count run fails loudly
+    instead of being silently merged as stale data (round-3 ADVICE)."""
+    import pytest
+
+    from samcarriestheburden_tpu.data.h5io import MaskWriter, merge_mask_shards
+
+    out = tmp_path / "masks.h5"
+    for p in (0, 1, 3):  # part2 missing -> part3 must be stale
+        with MaskWriter(f"{out}.part{p}", attrs={"model_id": "m0"}) as w:
+            w.write(f"im{p}", np.zeros((3, 4, 5), np.uint8))
+    with pytest.raises(AssertionError, match="not contiguous"):
+        merge_mask_shards(out)
+    # explicit n_processes overrides the glob and ignores the stale extra
+    merged = merge_mask_shards(out, n_processes=2)
+    assert merged.exists()
