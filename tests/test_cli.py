@@ -16,6 +16,7 @@ CLI_MODULES = [
     "export_decoder", "copy_and_process_imgs",
     "define_successively_data_subsets", "sanity_check_saved_segmentation",
     "hpo", "select_pseudo_labels", "make_synthetic_dataset",
+    "import_reference_data",
 ]
 
 
@@ -57,6 +58,24 @@ def test_train_and_save_segmentations_pipeline(in_data_root):
     reader = MaskReader(out)
     assert reader.stems() == ["img005"]
     assert reader.masks("img005").shape == (17, 384, 224)
+
+
+@pytest.mark.skipif(not Path("/root/reference/data").exists(),
+                    reason="reference checkout not available")
+def test_import_reference_data(tmp_path, monkeypatch):
+    """The one-command importer copies + validates the reference's pure-data
+    conventions (SURVEY #33) so the real pipeline runs without hand-copying."""
+    import pandas as pd
+
+    from samcarriestheburden_tpu.cli import import_reference_data as ird
+
+    monkeypatch.chdir(tmp_path)
+    out = ird.main(["--reference_root", "/root/reference"])
+    df = pd.read_csv(out / "500unlabeled_sample.csv")
+    assert len(df) == 500 and "filestem" in df.columns
+    assert (out / "successively_training_files_order.csv").exists()
+    for split in ("train1", "train2", "val", "test"):
+        assert (out / "cvat_annotation_xml" / f"annotations_{split}.xml").exists()
 
 
 def test_define_successively_subsets(in_data_root):
