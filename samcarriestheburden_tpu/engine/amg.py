@@ -110,7 +110,13 @@ class SamAutomaticMaskGenerator:
         assert output_mode in ("binary_mask", "uncompressed_rle", "coco_rle"), \
             f"Unknown output_mode {output_mode}."
         if min_mask_region_area > 0:
-            import cv2  # noqa: F401  (host-side small-region postprocess)
+            # fail early (like the reference's eager cv2 import,
+            # automatic_mask_generator.py) if NO small-region backend exists;
+            # the preferred backend is the native union-find CCL, cv2 is the
+            # fallback — see ops/regions._label_with_areas
+            from samcarriestheburden_tpu import native
+            if native.load() is None:
+                import cv2  # noqa: F401  (host-side small-region postprocess)
 
         self.predictor = SamPredictor(model)
         self.points_per_batch = points_per_batch

@@ -533,9 +533,19 @@ def fused_rel_attention_window3d(qkv: jnp.ndarray, tcat: jnp.ndarray, *,
 
 def _attn_kernel_global3d(qq_ref, kv_ref, tcat_ref, o_ref, *,
                           scale: float, kh: int, kw: int, hd: int,
-                          q_block: int):
+                          q_block: int, int8_qk: bool = False):
     """Global-layer q-blocked body with IN-KERNEL rel-pos (window3d design;
-    the q-block's token offset comes from the grid position)."""
+    the q-block's token offset comes from the grid position).
+
+    ``int8_qk``: dynamically quantize q/k in-kernel and run the q·kᵀ dot on
+    the int8 MXU (2× rate on v5e+).  k is quantized per CHANNEL with the
+    channel scale FOLDED INTO q before q's per-row quantization — every
+    scale application then broadcasts along lanes (a per-k-row scale would
+    need a sublane→lane transpose of a length-N vector, which Mosaic
+    relayouts through HBM).  The rel-pos bias becomes a separate small bf16
+    dot against the exact 0/1 selector columns.  Serving mode only —
+    accuracy is gated end-to-end with the rest of the int8 path
+    (tests/test_quantize.py)."""
     n = kh * kw
     inv = 1.0 / scale
 
@@ -573,11 +583,28 @@ def _attn_kernel_global3d(qq_ref, kv_ref, tcat_ref, o_ref, *,
     ewT = (key % kw == kw - 1 - jax.lax.broadcasted_iota(
         jnp.int32, (n, kw), 1))
 
-    qcat = jnp.concatenate([q, relh, relw], axis=1)
-    kcat = jnp.concatenate([k, ehT.astype(dt), ewT.astype(dt)], axis=1)
-    logits = jax.lax.dot_general(
-        qcat, kcat, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale          # (qb, n)
+    if int8_qk:
+        kf = k.astype(jnp.float32)
+        sk_c = jnp.max(jnp.abs(kf), axis=0, keepdims=True) / 127.0 + 1e-12
+        ki = jnp.round(kf / sk_c).astype(jnp.int8)           # (n, hd)
+        qs = q.astype(jnp.float32) * sk_c                    # fold k scales
+        sq_r = jnp.max(jnp.abs(qs), axis=1, keepdims=True) / 127.0 + 1e-12
+        qi = jnp.round(qs / sq_r).astype(jnp.int8)           # (qb, hd)
+        acc = jax.lax.dot_general(
+            qi, ki, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)                # (qb, n)
+        bias = jax.lax.dot_general(
+            jnp.concatenate([relh, relw], axis=1),
+            jnp.concatenate([ehT.astype(dt), ewT.astype(dt)], axis=1),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        logits = (acc.astype(jnp.float32) * sq_r + bias) * scale
+    else:
+        qcat = jnp.concatenate([q, relh, relw], axis=1)
+        kcat = jnp.concatenate([k, ehT.astype(dt), ewT.astype(dt)], axis=1)
+        logits = jax.lax.dot_general(
+            qcat, kcat, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale      # (qb, n)
 
     logits = logits - jnp.max(logits, axis=-1, keepdims=True)
     probs = jnp.exp(logits)
@@ -590,10 +617,10 @@ def _attn_kernel_global3d(qq_ref, kv_ref, tcat_ref, o_ref, *,
 
 
 @partial(jax.jit, static_argnames=("kh", "kw", "heads", "hd", "q_block",
-                                   "interpret"))
+                                   "int8_qk", "interpret"))
 def fused_rel_attention_global3d(qkv: jnp.ndarray, tcat: jnp.ndarray, *,
                                  kh: int, kw: int, heads: int, hd: int,
-                                 q_block: int = 1024,
+                                 q_block: int = 1024, int8_qk: bool = False,
                                  interpret: bool = False) -> jnp.ndarray:
     """Global-layer analogue of :func:`fused_rel_attention_window3d` —
     qkv: (B, N, heads·P); tcat: (hd, 256) packed rel tables (kh rows must be
@@ -609,7 +636,7 @@ def fused_rel_attention_global3d(qkv: jnp.ndarray, tcat: jnp.ndarray, *,
         q_block //= 2   # leave the token tail unwritten (garbage output)
     grid = (b, n // q_block, heads)
     kernel = partial(_attn_kernel_global3d, scale=scale, kh=kh, kw=kw, hd=hd,
-                     q_block=q_block)
+                     q_block=q_block, int8_qk=int8_qk)
     return pl.pallas_call(
         kernel,
         grid=grid,

@@ -305,12 +305,13 @@ def _global_attention_headmajor(p: dict, x: jnp.ndarray,
                                            dtype=x.dtype)
         out = _headmajor_attention_xla(qkv.reshape(b, n, heads * pad),
                                        rel_h, rel_w, heads=heads, hd=hd,
-                                       kh=gh, kw=gw)
+                                       kh=gh, kw=gw, int8_qk=True)
     else:
         tcat = prepare_rel_tables_window3d(p["attn"], gh, x.dtype, ws_w=gw)
         out = fused_rel_attention_global3d(
             qkv.reshape(b, n, heads * pad), tcat,
-            kh=gh, kw=gw, heads=heads, hd=hd, interpret=interpret)
+            kh=gh, kw=gw, heads=heads, hd=hd,
+            int8_qk=(quantize == "int8"), interpret=interpret)
 
     proj = p["attn"]["proj"]
     wp = proj["w"].reshape(heads, hd, e).astype(x.dtype)
@@ -519,15 +520,30 @@ def _block_apply_windowed3d(p: dict, x3: jnp.ndarray, pad3: jnp.ndarray,
 
 def _headmajor_attention_xla(qkv: jnp.ndarray, rel_h: jnp.ndarray,
                              rel_w: jnp.ndarray, *, heads: int, hd: int,
-                             kh: int, kw: int) -> jnp.ndarray:
+                             kh: int, kw: int,
+                             int8_qk: bool = False) -> jnp.ndarray:
     """Plain-jnp mirror of the fused head-major attention kernels (same
     (B, n, heads·pad) input / (heads, B, n, hd) output contract) for the
-    CPU-runnable int8 accuracy-gate path — Mosaic kernels need hardware."""
+    CPU-runnable int8 accuracy-gate path — Mosaic kernels need hardware.
+    ``int8_qk`` mirrors the kernel's dynamic q/k quantization (per-channel k
+    scales folded into q, per-row q scales) in fp32 arithmetic — exact,
+    since int8·int8 dot accumulants stay below 2^24."""
     b, n, _ = qkv.shape
     x4 = qkv.reshape(b, n, heads, -1)
     q, k, v = x4[..., :hd], x4[..., hd:2 * hd], x4[..., 2 * hd:3 * hd]
-    attn = jnp.einsum("bnhc,bmhc->hbnm", q * (hd ** -0.5), k,
-                      preferred_element_type=jnp.float32)
+    if int8_qk:
+        kf = k.astype(jnp.float32)
+        sk_c = jnp.max(jnp.abs(kf), axis=1, keepdims=True) / 127.0 + 1e-12
+        ki = jnp.round(kf / sk_c)
+        qs = q.astype(jnp.float32) * sk_c
+        sq_r = jnp.max(jnp.abs(qs), axis=-1, keepdims=True) / 127.0 + 1e-12
+        qi = jnp.round(qs / sq_r)
+        attn = (jnp.einsum("bnhc,bmhc->hbnm", qi, ki,
+                           preferred_element_type=jnp.float32)
+                * jnp.moveaxis(sq_r, 2, 0) * (hd ** -0.5))
+    else:
+        attn = jnp.einsum("bnhc,bmhc->hbnm", q * (hd ** -0.5), k,
+                          preferred_element_type=jnp.float32)
     bias = (jnp.repeat(rel_h.astype(jnp.float32), kw, axis=-1)
             + jnp.tile(rel_w.astype(jnp.float32), (1, 1, 1, kh)))
     attn = jax.nn.softmax(attn + bias, axis=-1)

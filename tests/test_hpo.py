@@ -35,6 +35,80 @@ def test_tpe_sampler_finds_optimum():
     assert abs(study.best_params["x"] - 2.0) < 1.0
 
 
+def test_tpe_sampler_beats_random_on_reference_benchmarks():
+    """Credibility check for the homebrew TPE-style sampler (VERDICT r3 #8):
+    the defining published property of TPE (Bergstra et al. 2011, fig. 4-6;
+    optuna's TPESampler docs) is that after the random-startup phase it
+    converges measurably faster than pure random search at equal trial
+    budget.  Verify that seeded, averaged over seeds, on three toy
+    objectives of the kinds the reference studies use (continuous, 2-D
+    Branin, mixed categorical+float) — plus the mechanism itself: post-
+    startup samples concentrate in the good-quantile region."""
+    import math
+
+    from samcarriestheburden_tpu.hpo.study import RandomSampler
+
+    def run(objective, sampler_fn, direction, seeds, n_trials):
+        vals = []
+        for s in seeds:
+            st = create_study(direction, sampler=sampler_fn(), seed=s)
+            st.optimize(objective, n_trials=n_trials)
+            vals.append(st.best_value)
+        return float(np.mean(vals))
+
+    seeds = range(8)
+
+    # 1) sharp 1-D quadratic: random rarely lands within the peak at 40
+    # trials; TPE must (that's the concentration property)
+    def quad(trial):
+        x = trial.suggest_float("x", -10.0, 10.0)
+        return -((x - 3.7) ** 2)
+
+    tpe = run(quad, lambda: TPESampler(n_startup_trials=10), "maximize",
+              seeds, 40)
+    rnd = run(quad, RandomSampler, "maximize", seeds, 40)
+    assert tpe > rnd, (tpe, rnd)
+    assert tpe > -0.05, f"TPE mean best {tpe} not concentrated at optimum"
+
+    # 2) Branin (classic continuous HPO benchmark, global min 0.3979)
+    def branin(trial):
+        x = trial.suggest_float("x", -5.0, 10.0)
+        y = trial.suggest_float("y", 0.0, 15.0)
+        return ((y - 5.1 / (4 * math.pi ** 2) * x ** 2
+                 + 5 / math.pi * x - 6) ** 2
+                + 10 * (1 - 1 / (8 * math.pi)) * math.cos(x) + 10)
+
+    tpe_b = run(branin, lambda: TPESampler(n_startup_trials=10), "minimize",
+                seeds, 60)
+    rnd_b = run(branin, RandomSampler, "minimize", seeds, 60)
+    assert tpe_b < rnd_b, (tpe_b, rnd_b)
+    assert tpe_b < 1.5, f"TPE mean Branin best {tpe_b} too far from 0.398"
+
+    # 3) mixed categorical + float (the shape of the reference's
+    # preprocess study: method choice + radius): TPE must learn BOTH the
+    # right category and the right region
+    def mixed(trial):
+        c = trial.suggest_categorical("c", ["disk", "square", "diamond"])
+        x = trial.suggest_float("r", 0.0, 1.0)
+        return ({"disk": 0.0, "square": -2.0, "diamond": -2.0}[c]
+                - (x - 0.25) ** 2 * 8)
+
+    tpe_m = run(mixed, lambda: TPESampler(n_startup_trials=10), "maximize",
+                seeds, 50)
+    rnd_m = run(mixed, RandomSampler, "maximize", seeds, 50)
+    assert tpe_m > rnd_m, (tpe_m, rnd_m)
+
+    # mechanism: post-startup draws concentrate near the good quantile —
+    # the fraction within |x-3.7|<1 must far exceed the uniform rate (0.1)
+    st = create_study("maximize", sampler=TPESampler(n_startup_trials=10),
+                      seed=3)
+    st.optimize(quad, n_trials=60)
+    post = [t.params["x"] for t in st.trials[10:]]
+    frac_near = np.mean([abs(x - 3.7) < 1.0 for x in post])
+    assert frac_near > 0.4, f"only {frac_near:.0%} of post-startup samples " \
+                            f"near the optimum (uniform would be ~10%)"
+
+
 def test_catch_failed_trials():
     study = create_study("maximize")
 

@@ -270,6 +270,49 @@ def test_headmajor_global_attention_matches_unfused(rng):
     np.testing.assert_allclose(ours, ref, atol=2e-4)
 
 
+def test_global3d_int8_qk_matches_mirror_and_fp32(rng):
+    """int8 q·kᵀ serving mode of the global-layer kernel (VERDICT r3 #4):
+    the in-kernel dynamic quantization (per-channel k scales folded into q,
+    per-row q scales, int8 MXU dot) must match the plain-jnp mirror that the
+    CPU accuracy gate runs (same arithmetic — int8 accumulants are exact in
+    fp32), and stay within quantization error of the fp32 kernel."""
+    import jax
+    import jax.numpy as jnp
+
+    from samcarriestheburden_tpu.kernels.attention import (
+        _headmajor_pad, fused_rel_attention_global3d,
+        prepare_rel_tables_window3d)
+
+    heads, hd, gh, gw, b = 2, 32, 8, 8, 1
+    n = gh * gw
+    p = _headmajor_pad(hd)
+    qkv = rng.standard_normal((b, n, heads * p)).astype(np.float32)
+    key = jax.random.PRNGKey(7)
+    p_attn = {
+        "rel_pos_h": jax.random.normal(key, (2 * gh - 1, hd)) * 0.1,
+        "rel_pos_w": jax.random.normal(key, (2 * gw - 1, hd)) * 0.1,
+    }
+    tcat = prepare_rel_tables_window3d(p_attn, gh, jnp.float32, ws_w=gw)
+
+    out_fp = np.asarray(fused_rel_attention_global3d(
+        jnp.asarray(qkv), tcat, kh=gh, kw=gw, heads=heads, hd=hd,
+        interpret=True))
+    out_i8 = np.asarray(fused_rel_attention_global3d(
+        jnp.asarray(qkv), tcat, kh=gh, kw=gw, heads=heads, hd=hd,
+        int8_qk=True, interpret=True))
+
+    rel_h, rel_w = image_encoder._rel_bias_headmajor(
+        jnp.asarray(qkv.reshape(b * n, heads * p)), p_attn, heads=heads,
+        pad=p, hd=hd, b=b, gh=gh, gw=gw, dtype=jnp.float32)
+    mirror = np.asarray(image_encoder._headmajor_attention_xla(
+        jnp.asarray(qkv), rel_h, rel_w, heads=heads, hd=hd, kh=gh, kw=gw,
+        int8_qk=True))
+
+    np.testing.assert_allclose(out_i8, mirror, atol=2e-4)
+    np.testing.assert_allclose(out_i8, out_fp, atol=0.05)
+    assert np.abs(out_i8 - out_fp).max() > 1e-6  # quantization DID happen
+
+
 def test_fused_ln_masked_linear_matches_reference(rng):
     """(LN(x)*mask) @ w + b == the unfused composition (the windowed-block
     qkv projection with pad re-zeroing folded in)."""
