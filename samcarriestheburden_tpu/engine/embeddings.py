@@ -49,7 +49,8 @@ def default_attention_impl():
 
 
 def make_encode_batch(model: SamModel, dtype=jnp.bfloat16,
-                      attention_impl=None, quantize=None):
+                      attention_impl=None, quantize=None,
+                      compact_windows=None):
     """jitted (B, 3, S, S) raw zero-padded uint8 batch + (B, 2) input sizes
     -> (B, 256, G, G) embeddings.  Normalise-then-pad semantics via validity
     masking (sam.py:164-174).  ``attention_impl`` selects the encoder
@@ -75,6 +76,12 @@ def make_encode_batch(model: SamModel, dtype=jnp.bfloat16,
     on_tpu = jax.default_backend() == "tpu"
     fused_mlp = on_tpu
     fused_qkv = on_tpu
+    if compact_windows is None:
+        # compact ragged-window serving layout: only real tokens are carried
+        # (4160 vs 5000 slot-rows/img on ViT-H); exact on real positions
+        # (tests/test_kernels.py::test_compact_windows_match_flat3d), TPU
+        # default since the Pallas rect kernel needs hardware
+        compact_windows = on_tpu
 
     @jax.jit
     def encode(params, imgs, input_sizes):
@@ -89,7 +96,8 @@ def make_encode_batch(model: SamModel, dtype=jnp.bfloat16,
                                    attention_impl=impl,
                                    fused_window_blocks=fused_blocks,
                                    fused_mlp=fused_mlp, fused_qkv=fused_qkv,
-                                   quantize=quantize)
+                                   quantize=quantize,
+                                   compact_windows=compact_windows)
 
     return encode
 
@@ -121,7 +129,7 @@ def make_encode_batch_medsam(model: SamModel, dtype=jnp.bfloat16,
 
 def make_serving_encoder(model: SamModel, dtype=jnp.bfloat16, *,
                          attention_impl=None, quantize=None,
-                         medsam: bool = False):
+                         medsam: bool = False, compact_windows=None):
     """(encode_fn, ready-to-serve params) pair for the batched encoder.
 
     ``quantize='int8'`` requires the 0.6B encoder weights to be prequantized
@@ -133,7 +141,8 @@ def make_serving_encoder(model: SamModel, dtype=jnp.bfloat16, *,
         encode = make_encode_batch_medsam(model, dtype, quantize=quantize)
     else:
         encode = make_encode_batch(model, dtype, attention_impl=attention_impl,
-                                   quantize=quantize)
+                                   quantize=quantize,
+                                   compact_windows=compact_windows)
     params = model.params
     if quantize == "int8":
         from samcarriestheburden_tpu.models.quantize import prequantize_sam

@@ -27,6 +27,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -657,6 +658,170 @@ def fused_rel_attention_global3d(qkv: jnp.ndarray, tcat: jnp.ndarray, *,
             bytes_accessed=2 * qkv.size * qkv.dtype.itemsize),
         interpret=interpret,
     )(qkv, qkv, tcat)
+
+
+def _attn_kernel_window_rect(qkv_ref, tcat_ref, bkv_ref, sel_ref, dead_ref,
+                             o_ref, *, scale: float, ws: int, rh: int,
+                             rw: int, np_: int, hd: int):
+    """Edge/corner window body for the COMPACT window layout: queries are
+    only the rh×rw REAL tokens of a ws×ws window whose remaining positions
+    are reference zero-pad.  Pad tokens' k/v are closed-form — all equal to
+    the qkv projection biases b_k/b_v (pad inputs are re-zeroed after LN
+    every layer, image_encoder._block_apply_windowed) — so the kernel
+    SYNTHESIZES the pad key rows in VMEM (one broadcast of b_k/b_v) instead
+    of carrying them through LN/qkv/MLP, and their rel-pos biases come from
+    the same one-hot selector columns as real keys (the selectors are baked
+    static constants carrying each key row's grid coordinates).  Bit-level
+    this is the same dot/softmax structure as materializing the pads, just
+    with keys reordered (real rect first, pad rows appended)."""
+    n = rh * rw
+    n_all = ws * ws
+    nk = np_ + (-(-(n_all - n) // 8) * 8)        # real slots + aligned pads
+    inv = 1.0 / scale
+
+    qkv = qkv_ref[:]                   # (g, np, P) one head's columns
+    q = qkv[:, :, :hd]
+    k = qkv[:, :, hd:2 * hd]
+    v = qkv[:, :, 2 * hd:3 * hd]
+    bk = bkv_ref[0, :, hd:2 * hd]                            # (1, hd)
+    bv = bkv_ref[0, :, 2 * hd:3 * hd]
+    dt = qkv.dtype
+    g = q.shape[0]
+
+    gcat = jax.lax.dot_general(q, tcat_ref[:], (((2,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    gs = gcat * inv
+    row = jax.lax.broadcasted_iota(jnp.int32, (1, np_, 1), 1)
+    p_of = jnp.minimum(row // rw, rh - 1)       # dead rows: clamp, masked later
+    q_of = row % rw
+    gh = gs[:, :, :128]
+    gw = gs[:, :, 128:]
+    b = 1
+    while b < ws:
+        gh = jnp.where((p_of & b) != 0, pltpu.roll(gh, shift=128 - b, axis=2),
+                       gh)
+        gw = jnp.where((q_of & b) != 0, pltpu.roll(gw, shift=128 - b, axis=2),
+                       gw)
+        b <<= 1
+    relh = gh[:, :, :ws].astype(dt)
+    relw = gw[:, :, :ws].astype(dt)
+
+    # Pad-key k/v rows are all b_k/b_v, so their logits split into
+    # q·b_k (one VPU reduction per query, shared by every pad key) plus the
+    # rel-pos selector dot, and their output contribution is (Σ_pad p)·b_v.
+    # Everything stays in LANE-dim concats/slices — Mosaic cannot concat or
+    # pad on sublanes when operands carry different lane offsets (the k/v
+    # column slices do).
+    qcat = jnp.concatenate([q, relh, relw], axis=2)
+    kcat = jnp.concatenate(
+        [k, jnp.broadcast_to(sel_ref[:np_][None], (g, np_, 2 * ws))], axis=2)
+    logits_real = jax.lax.dot_general(
+        qcat, kcat, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)                  # (g, np, np)
+    if nk > np_:  # static: degenerate rh=rw=ws windows have no pad keys
+        qrel = jnp.concatenate([relh, relw], axis=2)
+        sel_pad = jnp.broadcast_to(sel_ref[np_:][None],
+                                   (g, nk - np_, 2 * ws))
+        qbk = jnp.sum(q.astype(jnp.float32) * bk.astype(jnp.float32)[None],
+                      axis=2, keepdims=True)                 # (g, np, 1)
+        logits_pad = jax.lax.dot_general(
+            qrel, sel_pad, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) + qbk        # (g, np, npad)
+        logits = jnp.concatenate([logits_real, logits_pad], axis=2)
+    else:
+        logits = logits_real
+    logits = logits * scale + dead_ref[0:1][None]            # -1e30 dead cols
+
+    logits = logits - jnp.max(logits, axis=-1, keepdims=True)
+    probs = jnp.exp(logits)
+    probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+
+    out = jax.lax.dot_general(
+        probs[:, :, :np_].astype(dt), v,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    if nk > np_:
+        s_pad = jnp.sum(probs[:, :, np_:], axis=2, keepdims=True)
+        out = out + s_pad * bv.astype(jnp.float32)[None]
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("ws", "rh", "rw", "heads", "hd", "g_block",
+                                   "interpret"))
+def fused_rel_attention_window_rect(qkv: jnp.ndarray, tcat: jnp.ndarray,
+                                    bkv: jnp.ndarray, *, ws: int, rh: int,
+                                    rw: int, heads: int, hd: int,
+                                    g_block: Optional[int] = None,
+                                    interpret: bool = False) -> jnp.ndarray:
+    """Compact edge/corner window attention (see :func:`_attn_kernel_window_rect`).
+
+    qkv: (Wb, np, heads·P) over np = ceil(rh·rw/8)·8 REAL window tokens;
+    tcat: (hd, 256) rel tables for the FULL ws-grid; bkv: (heads, P) packed
+    per-head qkv projection bias (the pad tokens' k/v) -> (heads, Wb, np, hd)."""
+    wb, np_, hp = qkv.shape
+    n = rh * rw
+    assert np_ >= n and np_ % 8 == 0 and rh <= ws and rw <= ws, \
+        (np_, rh, rw, ws)
+    p = hp // heads
+    assert p == _headmajor_pad(hd), (p, hd)
+    assert tcat.shape == (hd, 256) and 2 * (2 * ws - 1) <= 256
+    assert bkv.shape == (heads, p), (bkv.shape, heads, p)
+    scale = hd ** -0.5
+    if g_block is None:
+        g_block = min(wb, 25)
+    while wb % g_block:
+        g_block -= 1
+    grid = (wb // g_block, heads)
+    nk = np_ + (-(-(ws * ws - n) // 8) * 8)
+
+    # static per-key grid coordinates: real rect rows first (kk -> (kk//rw,
+    # kk%rw)), then the pad region row-major; -1 marks dead alignment slots.
+    # Baked into operands (Pallas kernels may not capture array constants).
+    coords = np.full((nk,), -1, np.int64)
+    real = np.arange(n)
+    coords[:n] = (real // rw) * ws + real % rw
+    pad_pos = [(pp, qq) for pp in range(ws) for qq in range(ws)
+               if not (pp < rh and qq < rw)]
+    coords[np_:np_ + len(pad_pos)] = [pp * ws + qq for pp, qq in pad_pos]
+    ehT = np.zeros((nk, ws), np.float32)
+    ewT = np.zeros((nk, ws), np.float32)
+    valid = coords >= 0
+    # lane j of the rolled rel zones ↔ key coordinate ws-1-j (window3d)
+    ehT[valid, ws - 1 - coords[valid] // ws] = 1.0
+    ewT[valid, ws - 1 - coords[valid] % ws] = 1.0
+    sel = jnp.asarray(np.concatenate([ehT, ewT], axis=1), qkv.dtype)
+    is_pad = np.zeros((nk,), np.float32)
+    is_pad[np_:np_ + len(pad_pos)] = 1.0
+    dead = jnp.asarray(np.stack([np.where(valid, 0.0, -1e30), is_pad]),
+                       jnp.float32)
+
+    kernel = partial(_attn_kernel_window_rect, scale=scale, ws=ws, rh=rh,
+                     rw=rw, np_=np_, hd=hd)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((g_block, np_, p), lambda i, h: (i, 0, h)),
+            pl.BlockSpec((hd, 256), lambda i, h: (0, 0)),
+            # (heads, 1, P) so the block's last two dims equal the array's
+            # (Mosaic's (8, 128) tiling rule forbids a (1, P) sublane slice)
+            pl.BlockSpec((1, 1, p), lambda i, h: (h, 0, 0)),
+            pl.BlockSpec((nk, 2 * ws), lambda i, h: (0, 0)),
+            pl.BlockSpec((2, nk), lambda i, h: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, g_block, np_, hd),
+                               lambda i, h: (h, i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((heads, wb, np_, hd), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * wb * heads * np_ * (hd * 256 + nk * (hd + 2 * ws)
+                                          + nk * hd),
+            transcendentals=wb * heads * np_ * nk,
+            bytes_accessed=2 * qkv.size * qkv.dtype.itemsize),
+        interpret=interpret,
+    )(qkv, tcat, bkv.reshape(heads, 1, p), sel, dead)
 
 
 def prepare_rel_tables_window3d(p_attn: dict, ws: int, dtype,

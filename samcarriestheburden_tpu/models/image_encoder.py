@@ -518,6 +518,165 @@ def _block_apply_windowed3d(p: dict, x3: jnp.ndarray, pad3: jnp.ndarray,
     return _mlp_residual(p, x3, cfg, fused_mlp, add=a, quantize=quantize)
 
 
+# ---------------------------------------------------------------------------
+# compact ragged-window layout (serving mode): the reference zero-pads the
+# token grid up to a window multiple (reference image_encoder.py:256-259,
+# ViT-H: 70² padded vs 64² real = +19.6% tokens) and computes every layer on
+# the pad tokens too.  But pad-slot OUTPUTS are never consumed — each layer
+# re-zeroes pads after norm1, so their k/v are closed-form bias vectors and
+# everything else about them is dead compute.  The compact layout carries
+# ONLY real tokens: full interior windows go through the standard window3d
+# kernel, edge/corner windows through the rect kernel whose analytic pad-key
+# group reproduces the pad contribution exactly (kernels/attention.py:
+# _attn_kernel_window_rect).  LN/qkv/MLP run on the compact stream: 4160
+# slot-rows/img instead of 5000 on ViT-H.
+# ---------------------------------------------------------------------------
+
+
+def compact_window_groups(h: int, w: int, ws: int):
+    """Static descriptor of the compact ragged-window layout for an (h, w)
+    token grid: stream-ordered groups [interior | right-edge | bottom strip]
+    with carried window shape (rh, rw), window grid counts (nh, nw), region
+    origin (y0, x0) and 8-aligned slot count np.  The bottom strip spans the
+    FULL width — its slots beyond the image (the old corner's pad columns)
+    ride as zero-masked stream slots whose k/v are therefore the qkv biases,
+    i.e. exactly the reference's zero-pad tokens.  (Also keeps the rect
+    kernel off the rh=rw=8 shape that SIGABRTs the Mosaic compiler.)
+    Empty groups are dropped."""
+    h0, w0 = (h // ws) * ws, (w // ws) * ws
+    eh = h - h0
+    groups = []
+
+    def add(rh, rw, nh, nw, y0, x0):
+        if nh and nw and rh and rw:
+            groups.append(dict(rh=rh, rw=rw, nh=nh, nw=nw, y0=y0, x0=x0,
+                               np=-(-(rh * rw) // 8) * 8))
+
+    add(ws, ws, h0 // ws, w0 // ws, 0, 0)
+    add(ws, w - w0, h0 // ws, 1, 0, w0)
+    add(eh, ws, 1, -(-w // ws), h0, 0)
+    return groups
+
+
+def _compact_group_mask(g, h, w):
+    """(nh·nw·np, 1) float mask of IMAGE positions for one group (0 both for
+    beyond-image window columns — the reference pad tokens — and for the
+    8-alignment dead slots)."""
+    rh, rw, nh, nw, np_ = g["rh"], g["rw"], g["nh"], g["nw"], g["np"]
+    s = np.arange(np_)
+    p, q = s // rw, s % rw
+    m = np.zeros((nh, nw, np_, 1), np.float32)
+    for i in range(nh):
+        for j in range(nw):
+            ok = ((s < rh * rw) & (g["y0"] + i * rh + p < h)
+                  & (g["x0"] + j * rw + q < w))
+            m[i, j, :, 0] = ok
+    return m.reshape(nh * nw * np_, 1)
+
+
+def window_partition_compact(x: jnp.ndarray, ws: int, groups):
+    """(B, H, W, C) -> per-group [(x3 (Wb, np, C), mask3 (Wb, np, 1))].
+    Windows never talk to each other inside a windowed run, so each group
+    stays a SEPARATE carry (its own lax.scan over the blocks) — no per-layer
+    slicing/concatenation of a joint stream (traced: the joint-stream
+    variant spent +2.2 ms/img in slice/concat, exactly cancelling the
+    compact savings).  Pure slice/pad/reshape/transpose, no gathers."""
+    b, h, w, c = x.shape
+    parts = []
+    for g in groups:
+        rh, rw, nh, nw, np_ = g["rh"], g["rw"], g["nh"], g["nw"], g["np"]
+        n = rh * rw
+        blk = x[:, g["y0"]:g["y0"] + nh * rh, g["x0"]:g["x0"] + nw * rw, :]
+        ph, pw = nh * rh - blk.shape[1], nw * rw - blk.shape[2]
+        if ph or pw:  # bottom strip: beyond-image columns ride as zeros
+            blk = jnp.pad(blk, ((0, 0), (0, ph), (0, pw), (0, 0)))
+        blk = blk.reshape(b, nh, rh, nw, rw, c)
+        blk = jnp.transpose(blk, (0, 1, 3, 2, 4, 5)).reshape(
+            b * nh * nw, n, c)
+        if np_ != n:
+            blk = jnp.pad(blk, ((0, 0), (0, np_ - n), (0, 0)))
+        m = jnp.asarray(np.tile(
+            _compact_group_mask(g, h, w).reshape(nh * nw, np_, 1),
+            (b, 1, 1)), x.dtype)
+        parts.append((blk, m))
+    return parts
+
+
+def window_unpartition_compact(parts, ws: int, groups, b: int,
+                               hw) -> jnp.ndarray:
+    """Inverse of :func:`window_partition_compact` -> (B, H, W, C)."""
+    h, w = hw
+    regions = {}
+    for g, blk in zip(groups, parts):
+        rh, rw, nh, nw, np_ = g["rh"], g["rw"], g["nh"], g["nw"], g["np"]
+        c = blk.shape[-1]
+        blk = blk.reshape(b, nh, nw, np_, c)[:, :, :, :rh * rw, :]
+        blk = blk.reshape(b, nh, nw, rh, rw, c)
+        blk = jnp.transpose(blk, (0, 1, 3, 2, 4, 5)).reshape(
+            b, nh * rh, nw * rw, c)
+        # clip the bottom strip's beyond-image columns back off
+        blk = blk[:, :min(nh * rh, h - g["y0"]), :min(nw * rw, w - g["x0"])]
+        regions[(g["y0"], g["x0"])] = blk
+    rows_ = []
+    for y0 in sorted({k[0] for k in regions}):
+        cells = [regions[k] for k in sorted(regions) if k[0] == y0]
+        rows_.append(jnp.concatenate(cells, axis=2) if len(cells) > 1
+                     else cells[0])
+    return jnp.concatenate(rows_, axis=1) if len(rows_) > 1 else rows_[0]
+
+
+def _windowed_attention_rect3d(p: dict, x3: jnp.ndarray, pad3: jnp.ndarray,
+                               cfg: ImageEncoderConfig, rh: int, rw: int,
+                               interpret: bool = False,
+                               quantize: str = None) -> jnp.ndarray:
+    """Edge/corner-group analogue of :func:`_windowed_attention_headmajor3d`:
+    x3 carries only the rh×rw REAL tokens of each ws×ws window; the rect
+    kernel synthesizes the zero-pad keys (= qkv biases) in VMEM
+    (kernels/attention._attn_kernel_window_rect)."""
+    from samcarriestheburden_tpu.kernels.attention import (
+        fused_rel_attention_window_rect, prepare_rel_tables_window3d)
+
+    wb, np_, e = x3.shape
+    ws = cfg.window_size
+    heads = cfg.num_heads
+    hd = e // heads
+    t = wb * np_
+    wq, sq, bq = _qkv_pack(p["attn"], heads, x3.dtype, quantize)
+    qkv = _ln_qkv(x3.reshape(t, e), pad3.reshape(t, 1), p["norm1"],
+                  wq, sq, bq, cfg.layer_norm_eps, quantize, interpret)
+
+    pad = wq.shape[1] // heads
+    tcat = prepare_rel_tables_window3d(p["attn"], ws, x3.dtype)
+    bkv = bq.reshape(heads, pad).astype(x3.dtype)
+    out = fused_rel_attention_window_rect(
+        qkv.reshape(wb, np_, heads * pad), tcat, bkv, ws=ws, rh=rh, rw=rw,
+        heads=heads, hd=hd, interpret=interpret)            # (h, wb, np, hd)
+
+    proj = p["attn"]["proj"]
+    wp = proj["w"].reshape(heads, hd, e).astype(x3.dtype)
+    a = jax.lax.dot_general(out.reshape(heads, t, hd), wp,
+                            (((0, 2), (0, 1)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    if "b" in proj:
+        a = a + proj["b"].astype(jnp.float32)
+    return a.reshape(wb, np_, e).astype(x3.dtype)
+
+
+def _block_apply_windowed_compact(p: dict, x3: jnp.ndarray, pad3: jnp.ndarray,
+                                  cfg: ImageEncoderConfig, g,
+                                  fused_mlp: bool,
+                                  quantize: str = None) -> jnp.ndarray:
+    """Windowed block over ONE compact group; numerically ≡
+    _block_apply_windowed3d on real token positions (the pad tokens'
+    compute is replaced by the rect kernel's exact synthesized keys)."""
+    ws = cfg.window_size
+    if g["rh"] == ws and g["rw"] == ws:
+        return _block_apply_windowed3d(p, x3, pad3, cfg, fused_mlp, quantize)
+    a = _windowed_attention_rect3d(p, x3, pad3, cfg, g["rh"], g["rw"],
+                                   quantize=quantize)
+    return _mlp_residual(p, x3, cfg, fused_mlp, add=a, quantize=quantize)
+
+
 def _headmajor_attention_xla(qkv: jnp.ndarray, rel_h: jnp.ndarray,
                              rel_w: jnp.ndarray, *, heads: int, hd: int,
                              kh: int, kw: int,
@@ -593,6 +752,7 @@ def apply(params: dict, cfg: ImageEncoderConfig, x: jnp.ndarray, *,
           fused_mlp: bool = False,
           fused_qkv: bool = False,
           quantize: str = None,
+          compact_windows: bool = False,
           scan_blocks: bool = True) -> jnp.ndarray:
     """(B, 3, img, img) NCHW in (API parity) -> (B, out_chans, grid, grid) NCHW out.
 
@@ -624,6 +784,9 @@ def apply(params: dict, cfg: ImageEncoderConfig, x: jnp.ndarray, *,
         # v4 flat-window path: reshape-free carry + in-kernel rel-pos
         flat3d = fused_qkv and quantize != "int8_xla" \
             and not fused_window_blocks
+        compact = compact_windows and flat3d and (h % ws or w % ws)
+        if compact:
+            groups = compact_window_groups(h, w, ws)
         if flat3d:
             n = ws * ws
             np_ = -(-n // 8) * 8
@@ -641,22 +804,23 @@ def apply(params: dict, cfg: ImageEncoderConfig, x: jnp.ndarray, *,
                                          attention_impl, fused_mlp,
                                          fused_qkv, quantize)
 
-        def run_windowed(idxs, xw):
+        def run_windowed(idxs, xw, body=None):
             """A run of consecutive windowed blocks as ONE lax.scan over
             stacked params — the block body compiles once instead of once
             per layer (the 28 inlined ViT-H bodies made the remote encoder
             compile take minutes)."""
+            body = body or one_windowed
             if len(idxs) == 1 or not scan_blocks:
                 for i in idxs:
-                    xw = one_windowed(params["blocks"][i], xw)
+                    xw = body(params["blocks"][i], xw)
                 return xw
             stacked = jax.tree.map(lambda *ls: jnp.stack(ls),
                                    *[params["blocks"][i] for i in idxs])
 
-            def body(carry, blk):
-                return one_windowed(blk, carry), None
+            def sbody(carry, blk):
+                return body(blk, carry), None
 
-            out, _ = jax.lax.scan(body, xw, stacked)
+            out, _ = jax.lax.scan(sbody, xw, stacked)
             return out
 
         run: list = []
@@ -665,7 +829,19 @@ def apply(params: dict, cfg: ImageEncoderConfig, x: jnp.ndarray, *,
         while i <= n_blocks:
             is_global = i < n_blocks and i in cfg.global_attn_indexes
             if (i == n_blocks or is_global) and run:
-                if flat3d:
+                if compact:
+                    # each group runs the whole multi-block scan on its own
+                    # carry — windows are independent within a run
+                    parts = window_partition_compact(x, ws, groups)
+                    outs = [run_windowed(
+                        run, x3,
+                        lambda blk, xw, g=g, pad3=pad3:
+                        _block_apply_windowed_compact(blk, xw, pad3, cfg, g,
+                                                      fused_mlp, quantize))
+                        for g, (x3, pad3) in zip(groups, parts)]
+                    x = window_unpartition_compact(outs, ws, groups, b,
+                                                   (h, w))
+                elif flat3d:
                     x, pad_hw = window_partition_flat(x, ws)
                     x = run_windowed(run, x)
                     x = window_unpartition_flat(x, ws, pad_hw, (h, w))

@@ -168,6 +168,137 @@ def test_select_pseudo_labels(tmp_path, monkeypatch):
     assert out.name == "selected_pseudo_labels_500_dsc_08.h5"
 
 
+def test_pseudo_label_path_conventions():
+    """Path resolution must match the reference's literal conventions
+    (reference unet_training/training_on_pseudo_labels.py:55-63)."""
+    from samcarriestheburden_tpu.cli.train_on_pseudo_labels import \
+        pseudo_label_path
+
+    assert str(pseudo_label_path("data", "MID", "sam", ["box"],
+                                 ["pos_points", "neg_points"])) == \
+        "data/seg_masks/MID/sam_box_refine_pos_points_neg_points_all.h5"
+    assert str(pseudo_label_path("data", "MID", "raw", None, None)) == \
+        "data/seg_masks/MID/raw_segmentations_all.h5"
+    assert str(pseudo_label_path("data", "MID", "nnunet", None, None)) == \
+        "data/seg_masks/SegGraz_nnunet_predictions.h5"
+    with pytest.raises(ValueError):
+        pseudo_label_path("data", "MID", "what", None, None)
+
+
+def test_pseudo_label_retraining_closes_the_pipeline(in_data_root,
+                                                     monkeypatch):
+    """Stage 5/6 closure (reference unet_training/training_on_pseudo_labels.py
+    :55-100, README.md:30-39): run the WHOLE 6-stage loop — train f_θ → raw
+    segmentations → embedding precompute → SAM-refined sweep → retrain f_φ on
+    the refined h5 via cli.train_on_pseudo_labels (both --train_from_scratch
+    and fine-tune) — and assert the paper's claim: f_φ's val Dice ≥ f_θ's.
+
+    The sweep runs the real decode protocol with the tiny seeded SAM, which
+    (being untrained) cannot produce informative masks; after it writes the
+    conventionally-named h5 — the path the retraining driver must resolve —
+    the mask payload is swapped in place for the synthetic GT, modelling the
+    paper's premise that SAM refinement yields near-GT pseudo labels
+    (refinement *quality* itself is oracle-tested against the reference's own
+    torch stack in test_reference_parity.py). The retraining link then runs
+    for real and must beat the deliberately under-trained f_θ.
+
+    The reference's from-scratch retraining hard-codes the full-width U-Net
+    (training_on_pseudo_labels.py:74, ``UNet(1, N_CLASSES)``) — at 384×224 on
+    the CI CPU that is ~1 min/epoch, so the test shrinks the DEFAULTS the
+    driver resolves (a seeded tools/exp_stage56.py sweep fixed the epoch
+    counts and expected margins: θ 0.095 → φ 0.126 scratch / 0.124 tuned)."""
+    import functools
+
+    import jax.numpy as jnp
+    import pandas as pd
+
+    from samcarriestheburden_tpu import config as cfgmod
+    from samcarriestheburden_tpu.cli import (save_refined_segmentations,
+                                             save_segmentations, train,
+                                             train_on_pseudo_labels)
+
+    orig_cfg = cfgmod.UNetConfig
+
+    def tiny_unet_config(**kw):
+        kw.setdefault("base_channels", 4)
+        kw.setdefault("n_last_channel", 4)
+        return orig_cfg(**kw)
+
+    tiny_unet_config.from_json = orig_cfg.from_json  # modelio reconstruction
+    monkeypatch.setattr(cfgmod, "UNetConfig", tiny_unet_config)
+    from samcarriestheburden_tpu.config import sam_vit_t_config
+    from samcarriestheburden_tpu.data.datasets import LightSegGrazPedWriDataset
+    from samcarriestheburden_tpu.data.h5io import MaskReader, MaskWriter
+    from samcarriestheburden_tpu.engine.embeddings import precompute_embeddings
+    from samcarriestheburden_tpu.models import convert, modelio
+    from samcarriestheburden_tpu.models.modelio import ModelRegistry
+    from samcarriestheburden_tpu.models.sam import SamModel
+
+    # stage 1: deliberately weak f_θ (1 epoch)
+    theta_id = train.main(["--epochs", "1", "--data_sample_per_epoch", "2",
+                           "--batch_size", "2", "--n_last_channel", "4",
+                           "--data_aug", "0"])
+    registry = ModelRegistry(in_data_root / "model_registry")
+    by_id = {r["id"]: r for r in registry.list()}
+    theta_dice = by_id[theta_id]["val_dice"]
+
+    # stage 2: raw segmentations of the unlabeled 500-split (img005)
+    save_segmentations.main(["--model_id", theta_id, "--n_files", "500"])
+
+    # stage 3: embedding precompute with the tiny parity SAM
+    data = np.load(Path(__file__).parent / "golden" / "sam_e2e.npz")
+    sd = {k[3:]: data[k] for k in data.files if k.startswith("sd/")}
+    cfg = sam_vit_t_config()
+    sam = SamModel(cfg=cfg, params=convert.sam_params_from_torch(sd, cfg))
+    ckpt = in_data_root / "tiny.npz"
+    modelio.save_params(ckpt, sam.params)
+    emb = in_data_root / "emb.h5"
+    precompute_embeddings(
+        sam, [in_data_root / "img_only_front_all_left" / "img005.png"],
+        emb, "tiny.npz", batch_size=1, dtype=jnp.float32, progress=False)
+
+    # stage 4: the refined sweep writes the conventionally-named h5
+    save_refined_segmentations.main(
+        ["--model_id", theta_id, "--n_files", "500",
+         "--sam_checkpoint", str(ckpt), "--sam_model_type", "vit_t",
+         "--embeddings", str(emb), "--img_batch", "1"])
+    out = (in_data_root / "seg_masks" / theta_id /
+           "sam_box_refine_pos_points_neg_points_500.h5")
+    assert out.exists()
+    reader = MaskReader(out)
+    assert reader.stems() == ["img005"]
+    est = reader.estimated_dice("img005")
+    reader.close()
+
+    # oracle injection: replace the payload with synthetic GT in place
+    _, y_va, _ = LightSegGrazPedWriDataset(
+        "val", data_root=in_data_root).as_arrays()
+    gt = (np.asarray(y_va[0]) > 0.5).astype(np.uint8)  # (17, 384, 224)
+    out.unlink()
+    with MaskWriter(out, attrs={"model_id": theta_id}) as w:
+        w.write("img005", gt, estimated_dice=np.asarray(est))
+
+    # stages 5+6: retrain on the refined h5 — from scratch and fine-tuned —
+    # resolving the h5 by the reference path convention (suffix 500)
+    common = ["--model_id", theta_id, "--pseudo_label", "sam",
+              "--prompt1st", "box", "--prompt2nd", "pos_points", "neg_points",
+              "--pseudo_label_suffix", "500", "--batch_size", "1",
+              "--data_aug", "0"]
+    phi_id = train_on_pseudo_labels.main(common + ["--epochs", "40"])
+    by_id = {r["id"]: r for r in registry.list()}
+    phi = by_id[phi_id]
+    assert phi["initial_model"] == theta_id
+    assert phi["val_dice"] >= theta_dice, \
+        f"f_φ ({phi['val_dice']:.3f}) must beat f_θ ({theta_dice:.3f})"
+    assert phi["val_dice"] > 0.11  # learned the GT-quality labels (seeded
+    #                                sweep value 0.126 vs f_θ's 0.095)
+
+    phi_ft_id = train_on_pseudo_labels.main(
+        common + ["--epochs", "30", "--no-train_from_scratch"])
+    by_id = {r["id"]: r for r in registry.list()}
+    assert by_id[phi_ft_id]["val_dice"] >= theta_dice
+
+
 def test_refined_segmentations_cli_multihost_equivalence(in_data_root, monkeypatch):
     """End-to-end `save_refined_segmentations` over the synthetic data root
     (stages 1+2+4 of the pipeline: train -> embeddings -> refined sweep), then

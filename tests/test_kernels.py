@@ -270,6 +270,75 @@ def test_headmajor_global_attention_matches_unfused(rng):
     np.testing.assert_allclose(ours, ref, atol=2e-4)
 
 
+def test_compact_windows_match_flat3d(rng):
+    """Compact ragged-window serving layout (VERDICT r3 #4 padding tax):
+    carrying ONLY real tokens — interior windows via window3d, edge/corner
+    windows via the rect kernel's analytic pad-key group — must reproduce
+    the flat3d path (which materializes the reference's zero-pad tokens) on
+    every real position, through a full multi-block windowed run.  vit_t's
+    8-token grid with ws=5 exercises all four group kinds (interior,
+    right-edge, bottom-edge, corner)."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = sam_vit_t_config().image_encoder
+    params = image_encoder.init(jax.random.PRNGKey(1), cfg)
+    key = jax.random.PRNGKey(2)
+    for blk in params["blocks"]:
+        blk["attn"]["rel_pos_h"] = jax.random.normal(
+            key, blk["attn"]["rel_pos_h"].shape) * 0.1
+        blk["attn"]["rel_pos_w"] = jax.random.normal(
+            key, blk["attn"]["rel_pos_w"].shape) * 0.1
+
+    ws = cfg.window_size
+    b, h, w = 2, 8, 8
+    x = jnp.asarray(rng.standard_normal((b, h, w, cfg.embed_dim)), jnp.float32)
+
+    groups = image_encoder.compact_window_groups(h, w, ws)
+    assert [(g["rh"], g["rw"], g["nh"] * g["nw"]) for g in groups] == \
+        [(5, 5, 1), (5, 3, 1), (3, 5, 2)]  # bottom strip absorbs the corner
+
+    # layout round-trip
+    parts = image_encoder.window_partition_compact(x, ws, groups)
+    back = image_encoder.window_unpartition_compact(
+        [p for p, _ in parts], ws, groups, b, (h, w))
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+    assert int(sum(m.sum() for _, m in parts)) == b * h * w
+
+    # reference: flat3d path over two consecutive windowed blocks
+    n = ws * ws
+    np_ = -(-n // 8) * 8
+    xf, pad_hw = image_encoder.window_partition_flat(x, ws)
+    pad3 = image_encoder._pad_valid_mask(b, h, w, ws, x.dtype).reshape(
+        -1, n, 1)
+    pad3 = jnp.pad(pad3, ((0, 0), (0, np_ - n), (0, 0)))
+    yf = xf
+    for i in (0, 1):
+        a = image_encoder._windowed_attention_headmajor3d(
+            params["blocks"][i], yf, pad3, cfg, interpret=True)
+        yf = image_encoder._mlp_residual(params["blocks"][i], yf, cfg, False,
+                                         add=a)
+    ref = np.asarray(image_encoder.window_unpartition_flat(
+        yf, ws, pad_hw, (h, w)))
+
+    outs = []
+    for g, (x3, m3) in zip(groups, parts):
+        y = x3
+        for i in (0, 1):
+            blk = params["blocks"][i]
+            if g["rh"] == ws and g["rw"] == ws:
+                a = image_encoder._windowed_attention_headmajor3d(
+                    blk, y, m3, cfg, interpret=True)
+            else:
+                a = image_encoder._windowed_attention_rect3d(
+                    blk, y, m3, cfg, g["rh"], g["rw"], interpret=True)
+            y = image_encoder._mlp_residual(blk, y, cfg, False, add=a)
+        outs.append(y)
+    ours = np.asarray(image_encoder.window_unpartition_compact(
+        outs, ws, groups, b, (h, w)))
+    np.testing.assert_allclose(ours, ref, atol=2e-4)
+
+
 def test_global3d_int8_qk_matches_mirror_and_fp32(rng):
     """int8 q·kᵀ serving mode of the global-layer kernel (VERDICT r3 #4):
     the in-kernel dynamic quantization (per-channel k scales folded into q,
