@@ -51,12 +51,15 @@ A100_BF16_TFLOPS = 312  # the reference estimate's hardware (SAM paper A100)
 def _xla_flops(fn, *args):
     """FLOPs XLA's cost model assigns to ONE execution of ``fn(*args)``
     (dot/conv dominated; int8 dots count as flops too).  None when the
-    backend doesn't expose cost analysis."""
+    backend doesn't expose cost analysis.  Already-jitted callables are
+    lowered directly, so with the persistent compilation cache enabled in
+    main() this re-reads the cached compile rather than paying a second
+    full XLA compile of the big programs."""
     import jax
 
     try:
-        comp = jax.jit(fn).lower(*args).compile()
-        ca = comp.cost_analysis()
+        jitted = fn if hasattr(fn, "lower") else jax.jit(fn)
+        ca = jitted.lower(*args).compile().cost_analysis()
         ca = ca[0] if isinstance(ca, (list, tuple)) else ca
         return float(ca["flops"])
     except Exception:
@@ -337,8 +340,7 @@ def main():
     # trip-count-dependent and XLA's static count is not meaningful there).
     dev = jax.devices()[0]
     peaks = _PEAK_TFLOPS.get(getattr(dev, "device_kind", ""), None)
-    f_enc = _xla_flops(lambda a, b, p: encode(p, a, b), imgs, sizes,
-                       encode_params)
+    f_enc = _xla_flops(encode, encode_params, imgs, sizes)
     f_ref = _xla_flops(refine, features, coords, labels)
     f_train = _xla_flops(train_step, x_all, y_all)
     f_amg = _xla_flops(amg_batch, amg_pts, features)

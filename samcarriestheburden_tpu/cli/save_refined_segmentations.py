@@ -111,9 +111,15 @@ def main(argv=None):
         files = process_shard(files)
         out = Path(str(out) + f".part{jax.process_index()}")
 
+    attrs = {"refine_params": json.dumps(refine_params),
+             "model_id": args.model_id}
+    if jax.process_count() > 1:
+        # shard provenance: merge_mask_shards rejects .part files whose
+        # claimed shard_count disagrees with what it globbed (stale leftovers
+        # from an earlier run with a different process count)
+        attrs["shard_count"] = jax.process_count()
     with profiled(args.profile) as timer, \
-            MaskWriter(out, attrs={"refine_params": json.dumps(refine_params),
-                                   "model_id": args.model_id}) as writer:
+            MaskWriter(out, attrs=attrs) as writer:
         if timer is None:
             from samcarriestheburden_tpu.profiling import PhaseTimer
             timer = PhaseTimer(sync=False)  # no-op accounting

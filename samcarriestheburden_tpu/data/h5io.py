@@ -134,6 +134,24 @@ class MaskReader:
         self.f.close()
 
 
+def _check_shard_counts(parts) -> None:
+    """Cross-check each part's write-time ``shard_count`` attr against the
+    merge set: a leftover part from an earlier run with a DIFFERENT process
+    count can be contiguous (part0..partN all overwritten except the tail),
+    so index contiguity alone cannot catch it — provenance can.  Parts
+    without the attr (pre-round-4 files) are accepted."""
+    counts = {}
+    for p in parts:
+        with h5py.File(p, "r") as f:
+            c = f.attrs.get("shard_count")
+        if c is not None:
+            counts[p] = int(c)
+    for p, c in counts.items():
+        assert c == len(parts), \
+            (f"{p} was written by a {c}-process run but {len(parts)} shards "
+             f"are being merged — stale .part files from an earlier run?")
+
+
 def merge_mask_shards(out_h5, n_processes: int = None,
                       delete_parts: bool = False) -> Path:
     """Merge per-process ``<out>.part<p>`` mask files written by a multi-host
@@ -157,6 +175,7 @@ def merge_mask_shards(out_h5, n_processes: int = None,
              f"delete the extras")
     else:
         parts = [f"{out_h5}.part{p}" for p in range(n_processes)]
+    _check_shard_counts(parts)
     with h5py.File(out_h5, "w") as dst:
         for i, part in enumerate(parts):
             with h5py.File(part, "r") as src:

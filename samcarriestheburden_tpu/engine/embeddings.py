@@ -103,7 +103,7 @@ def make_encode_batch(model: SamModel, dtype=jnp.bfloat16,
 
 
 def make_encode_batch_medsam(model: SamModel, dtype=jnp.bfloat16,
-                             quantize=None):
+                             quantize=None, compact_windows=None):
     """MedSAM variant (reference generate_img_embeddings.py:49-64): the image
     arrives cubic-resized to the square encoder size; normalisation is
     per-image min-max to [0, 1] (no padding mask).  ``quantize`` selects the
@@ -112,6 +112,8 @@ def make_encode_batch_medsam(model: SamModel, dtype=jnp.bfloat16,
     from samcarriestheburden_tpu.models import image_encoder
 
     fused = jax.default_backend() == "tpu"
+    if compact_windows is None:
+        compact_windows = fused  # same encoder stack as make_encode_batch
 
     @jax.jit
     def encode(params, imgs, input_sizes):
@@ -122,7 +124,8 @@ def make_encode_batch_medsam(model: SamModel, dtype=jnp.bfloat16,
         return image_encoder.apply(params["image_encoder"],
                                    model.cfg.image_encoder, x, dtype=dtype,
                                    fused_mlp=fused, fused_qkv=fused,
-                                   quantize=quantize)
+                                   quantize=quantize,
+                                   compact_windows=compact_windows)
 
     return encode
 
@@ -138,7 +141,8 @@ def make_serving_encoder(model: SamModel, dtype=jnp.bfloat16, *,
     makes forgetting that step impossible.  For other modes the params are
     ``model.params`` unchanged."""
     if medsam:
-        encode = make_encode_batch_medsam(model, dtype, quantize=quantize)
+        encode = make_encode_batch_medsam(model, dtype, quantize=quantize,
+                                          compact_windows=compact_windows)
     else:
         encode = make_encode_batch(model, dtype, attention_impl=attention_impl,
                                    quantize=quantize,
@@ -178,12 +182,14 @@ def precompute_embeddings(model: SamModel, image_files: Sequence,
     file list on its local devices (image encoding is embarrassingly parallel
     — no collectives) and writes ``<out>.part<p>``; merge afterwards with
     :func:`merge_embedding_shards` or read the parts side by side."""
+    shard_count = None
     if jax.process_count() > 1:
         from samcarriestheburden_tpu.parallel.distributed import process_shard
 
         image_files = process_shard(image_files)
         out_h5 = Path(str(out_h5) + f".part{jax.process_index()}")
         mesh = None  # local pipeline per process; no cross-host arrays
+        shard_count = jax.process_count()  # provenance for the merge guard
     if timer is None:
         from samcarriestheburden_tpu.profiling import PhaseTimer
 
@@ -224,6 +230,8 @@ def precompute_embeddings(model: SamModel, image_files: Sequence,
 
     with EmbeddingWriter(out_h5, checkpoint_name, size, append=resume) as writer, \
             ThreadPoolExecutor(loader_threads) as pool:
+        if shard_count is not None:
+            writer.f.attrs["shard_count"] = shard_count
         if resume:
             done = writer.existing_stems()
             files = [f for f in files if f.stem not in done]
@@ -275,10 +283,22 @@ def merge_embedding_shards(out_h5, n_processes: int = None,
 
     import h5py
 
+    from samcarriestheburden_tpu.data.h5io import _check_shard_counts
+
     out_h5 = Path(out_h5)
-    parts = sorted(glob.glob(str(out_h5) + ".part*")) if n_processes is None \
-        else [f"{out_h5}.part{p}" for p in range(n_processes)]
-    assert parts, f"no shard files matching {out_h5}.part*"
+    if n_processes is None:
+        parts = sorted(glob.glob(str(out_h5) + ".part*"))
+        assert parts, f"no shard files matching {out_h5}.part*"
+        # same stale-shard guards as data.h5io.merge_mask_shards: contiguous
+        # 0..N-1 indices AND each part's write-time shard_count provenance
+        idx = sorted(int(Path(p).suffix[len(".part"):]) for p in parts)
+        assert idx == list(range(len(idx))), \
+            (f"shard indices {idx} are not contiguous 0..{len(idx) - 1}: "
+             f"stale .part files from an earlier run? Pass n_processes or "
+             f"delete the extras")
+    else:
+        parts = [f"{out_h5}.part{p}" for p in range(n_processes)]
+    _check_shard_counts(parts)
     with h5py.File(out_h5, "w") as dst:
         for i, part in enumerate(parts):
             with h5py.File(part, "r") as src:

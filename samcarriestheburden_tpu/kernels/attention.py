@@ -790,10 +790,7 @@ def fused_rel_attention_window_rect(qkv: jnp.ndarray, tcat: jnp.ndarray,
     ehT[valid, ws - 1 - coords[valid] // ws] = 1.0
     ewT[valid, ws - 1 - coords[valid] % ws] = 1.0
     sel = jnp.asarray(np.concatenate([ehT, ewT], axis=1), qkv.dtype)
-    is_pad = np.zeros((nk,), np.float32)
-    is_pad[np_:np_ + len(pad_pos)] = 1.0
-    dead = jnp.asarray(np.stack([np.where(valid, 0.0, -1e30), is_pad]),
-                       jnp.float32)
+    dead = jnp.asarray(np.where(valid, 0.0, -1e30)[None, :], jnp.float32)
 
     kernel = partial(_attn_kernel_window_rect, scale=scale, ws=ws, rh=rh,
                      rw=rw, np_=np_, hd=hd)
@@ -807,7 +804,7 @@ def fused_rel_attention_window_rect(qkv: jnp.ndarray, tcat: jnp.ndarray,
             # (Mosaic's (8, 128) tiling rule forbids a (1, P) sublane slice)
             pl.BlockSpec((1, 1, p), lambda i, h: (h, 0, 0)),
             pl.BlockSpec((nk, 2 * ws), lambda i, h: (0, 0)),
-            pl.BlockSpec((2, nk), lambda i, h: (0, 0)),
+            pl.BlockSpec((1, nk), lambda i, h: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, g_block, np_, hd),
                                lambda i, h: (h, i, 0, 0)),

@@ -18,6 +18,16 @@ from samcarriestheburden_tpu.parallel.distributed import process_shard
 from samcarriestheburden_tpu.train.loop import UNetTrainer
 
 
+def _free_port() -> str:
+    """Ephemeral coordinator port: hard-coded ports collide when two test
+    runs (CI jobs, xdist workers, a lingering aborted worker) share a host."""
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return str(s.getsockname()[1])
+
+
 def test_process_shard_strided():
     items = list(range(10))
     shards = [process_shard(items, p, 3) for p in range(3)]
@@ -121,7 +131,7 @@ def test_two_process_training_step():
     with both dataset placements — losses agree across processes and with a
     single-process 4-device run."""
     worker = Path(__file__).parent / "mh_worker.py"
-    port = "12421"
+    port = _free_port()
     procs = [subprocess.Popen(
         [sys.executable, str(worker), str(p), port],
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
@@ -208,9 +218,11 @@ def test_two_process_cli_scaleout(data_root, monkeypatch):
     env = {**__import__("os").environ,
            "PYTHONPATH": str(Path(__file__).parent.parent)}
 
+    port = _free_port()
+
     def spawn(pid, nproc, tag):
         return subprocess.Popen(
-            [sys.executable, str(worker), str(pid), str(nproc), "12431",
+            [sys.executable, str(worker), str(pid), str(nproc), port,
              str(data_root.parent), model_id, tag],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env)
 
@@ -294,3 +306,40 @@ def test_merge_mask_shards_rejects_stale_parts(tmp_path):
     # explicit n_processes overrides the glob and ignores the stale extra
     merged = merge_mask_shards(out, n_processes=2)
     assert merged.exists()
+
+
+def test_merge_shards_rejects_wrong_shard_count_provenance(tmp_path):
+    """Contiguity alone can't catch CONTIGUOUS stale leftovers (a 2-process
+    run overwriting part0/part1 of an earlier 4-process run) — the
+    write-time shard_count attr can (round-4 review finding)."""
+    import pytest
+
+    from samcarriestheburden_tpu.data.h5io import (EmbeddingWriter,
+                                                   MaskWriter,
+                                                   merge_mask_shards)
+    from samcarriestheburden_tpu.engine.embeddings import \
+        merge_embedding_shards
+
+    out = tmp_path / "masks.h5"
+    for p, claimed in ((0, 2), (1, 2), (2, 4), (3, 4)):  # part2/3 stale
+        with MaskWriter(f"{out}.part{p}", attrs={"model_id": "m0",
+                                                 "shard_count": claimed}) as w:
+            w.write(f"im{p}", np.zeros((3, 4, 5), np.uint8))
+    with pytest.raises(AssertionError, match="stale"):
+        merge_mask_shards(out)
+    with pytest.raises(AssertionError, match="stale"):
+        merge_mask_shards(out, n_processes=4)  # explicit count checks too
+    # the two fresh shards alone merge fine
+    Path(f"{out}.part2").unlink()
+    Path(f"{out}.part3").unlink()
+    assert merge_mask_shards(out).exists()
+
+    # same guard on the embeddings merger
+    emb = tmp_path / "emb.h5"
+    for p, claimed in ((0, 1), (1, 3)):
+        with EmbeddingWriter(f"{emb}.part{p}", "ckpt.npz", 128) as w:
+            w.f.attrs["shard_count"] = claimed
+            w.write(f"im{p}", np.zeros((1, 4, 2, 2), np.float32),
+                    (20, 30), (10, 15))
+    with pytest.raises(AssertionError, match="stale"):
+        merge_embedding_shards(emb)
