@@ -147,9 +147,11 @@ def _check_shard_counts(parts) -> None:
         if c is not None:
             counts[p] = int(c)
     for p, c in counts.items():
-        assert c == len(parts), \
-            (f"{p} was written by a {c}-process run but {len(parts)} shards "
-             f"are being merged — stale .part files from an earlier run?")
+        if c != len(parts):
+            raise ValueError(
+                f"{p} was written by a {c}-process run but {len(parts)} "
+                f"shards are being merged — stale .part files from an "
+                f"earlier run?")
 
 
 def merge_mask_shards(out_h5, n_processes: int = None,
@@ -164,15 +166,17 @@ def merge_mask_shards(out_h5, n_processes: int = None,
     out_h5 = Path(out_h5)
     if n_processes is None:
         parts = sorted(glob.glob(str(out_h5) + ".part*"))
-        assert parts, f"no shard files matching {out_h5}.part*"
+        if not parts:
+            raise FileNotFoundError(f"no shard files matching {out_h5}.part*")
         # guard against stale shards from an earlier higher-process-count
         # run being silently merged in (round-3 ADVICE): the matched part
         # indices must form a contiguous 0..N-1 range
         idx = sorted(int(Path(p).suffix[len(".part"):]) for p in parts)
-        assert idx == list(range(len(idx))), \
-            (f"shard indices {idx} are not contiguous 0..{len(idx) - 1}: "
-             f"stale .part files from an earlier run? Pass n_processes or "
-             f"delete the extras")
+        if idx != list(range(len(idx))):
+            raise ValueError(
+                f"shard indices {idx} are not contiguous 0..{len(idx) - 1}: "
+                f"stale .part files from an earlier run? Pass n_processes "
+                f"or delete the extras")
     else:
         parts = [f"{out_h5}.part{p}" for p in range(n_processes)]
     _check_shard_counts(parts)
@@ -181,10 +185,15 @@ def merge_mask_shards(out_h5, n_processes: int = None,
             with h5py.File(part, "r") as src:
                 if i == 0:
                     for k, v in src.attrs.items():
-                        dst.attrs[k] = v
+                        # the merged single file is no longer one shard of an
+                        # N-way run — copying shard_count would claim false
+                        # provenance (round-4 ADVICE)
+                        if k != "shard_count":
+                            dst.attrs[k] = v
                 else:
-                    assert src.attrs["labels"] == dst.attrs["labels"], \
-                        f"shard {part} with different labels"
+                    if src.attrs["labels"] != dst.attrs["labels"]:
+                        raise ValueError(
+                            f"shard {part} with different labels")
                 for stem in src.get("segmentation_mask", {}):
                     src.copy(f"segmentation_mask/{stem}", dst,
                              f"segmentation_mask/{stem}")

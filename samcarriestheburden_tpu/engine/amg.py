@@ -36,12 +36,12 @@ class MaskData:
     def __init__(self, **kwargs) -> None:
         for v in kwargs.values():
             assert isinstance(v, (list, np.ndarray)), \
-                "MaskData only supports list and numpy arrays."
+                "MaskData values must be lists or numpy arrays"
         self._stats: Dict[str, Any] = dict(**kwargs)
 
     def __setitem__(self, key, item):
         assert isinstance(item, (list, np.ndarray)), \
-            "MaskData only supports list and numpy arrays."
+            "MaskData values must be lists or numpy arrays"
         self._stats[key] = item
 
     def __delitem__(self, key):
@@ -64,7 +64,8 @@ class MaskData:
             elif isinstance(v, list):
                 self._stats[k] = [v[i] for i in keep]
             else:
-                raise TypeError(f"MaskData key {k} has an unsupported type {type(v)}.")
+                raise TypeError(
+                    f"cannot filter MaskData[{k!r}]: type {type(v)}")
 
     def cat(self, new_stats: "MaskData") -> None:
         for k, v in new_stats.items():
@@ -75,7 +76,8 @@ class MaskData:
             elif isinstance(v, list):
                 self._stats[k] = self._stats[k] + list(v)
             else:
-                raise TypeError(f"MaskData key {k} has an unsupported type {type(v)}.")
+                raise TypeError(
+                    f"cannot concatenate MaskData[{k!r}]: type {type(v)}")
 
     def to_numpy(self) -> None:
         pass  # already numpy

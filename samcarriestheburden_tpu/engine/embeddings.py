@@ -78,7 +78,7 @@ def make_encode_batch(model: SamModel, dtype=jnp.bfloat16,
     fused_qkv = on_tpu
     if compact_windows is None:
         # compact ragged-window serving layout: only real tokens are carried
-        # (4160 vs 5000 slot-rows/img on ViT-H); exact on real positions
+        # (4208 vs 5000 slot-rows/img on ViT-H); exact on real positions
         # (tests/test_kernels.py::test_compact_windows_match_flat3d), TPU
         # default since the Pallas rect kernel needs hardware
         compact_windows = on_tpu
@@ -288,14 +288,16 @@ def merge_embedding_shards(out_h5, n_processes: int = None,
     out_h5 = Path(out_h5)
     if n_processes is None:
         parts = sorted(glob.glob(str(out_h5) + ".part*"))
-        assert parts, f"no shard files matching {out_h5}.part*"
+        if not parts:
+            raise FileNotFoundError(f"no shard files matching {out_h5}.part*")
         # same stale-shard guards as data.h5io.merge_mask_shards: contiguous
         # 0..N-1 indices AND each part's write-time shard_count provenance
         idx = sorted(int(Path(p).suffix[len(".part"):]) for p in parts)
-        assert idx == list(range(len(idx))), \
-            (f"shard indices {idx} are not contiguous 0..{len(idx) - 1}: "
-             f"stale .part files from an earlier run? Pass n_processes or "
-             f"delete the extras")
+        if idx != list(range(len(idx))):
+            raise ValueError(
+                f"shard indices {idx} are not contiguous 0..{len(idx) - 1}: "
+                f"stale .part files from an earlier run? Pass n_processes "
+                f"or delete the extras")
     else:
         parts = [f"{out_h5}.part{p}" for p in range(n_processes)]
     _check_shard_counts(parts)
@@ -304,10 +306,14 @@ def merge_embedding_shards(out_h5, n_processes: int = None,
             with h5py.File(part, "r") as src:
                 if i == 0:
                     for k, v in src.attrs.items():
-                        dst.attrs[k] = v
+                        # merged file is not one shard of an N-way run —
+                        # don't carry shard provenance over (round-4 ADVICE)
+                        if k != "shard_count":
+                            dst.attrs[k] = v
                 else:
-                    assert src.attrs["checkpoint"] == dst.attrs["checkpoint"], \
-                        f"shard {part} from a different checkpoint"
+                    if src.attrs["checkpoint"] != dst.attrs["checkpoint"]:
+                        raise ValueError(
+                            f"shard {part} from a different checkpoint")
                 for stem in src.get("img_embedding", {}):
                     src.copy(f"img_embedding/{stem}", dst,
                              f"img_embedding/{stem}")

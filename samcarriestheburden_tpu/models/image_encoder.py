@@ -528,7 +528,7 @@ def _block_apply_windowed3d(p: dict, x3: jnp.ndarray, pad3: jnp.ndarray,
 # ONLY real tokens: full interior windows go through the standard window3d
 # kernel, edge/corner windows through the rect kernel whose analytic pad-key
 # group reproduces the pad contribution exactly (kernels/attention.py:
-# _attn_kernel_window_rect).  LN/qkv/MLP run on the compact stream: 4160
+# _attn_kernel_window_rect).  LN/qkv/MLP run on the compact stream: 4208
 # slot-rows/img instead of 5000 on ViT-H.
 # ---------------------------------------------------------------------------
 

@@ -301,7 +301,7 @@ def test_merge_mask_shards_rejects_stale_parts(tmp_path):
     for p in (0, 1, 3):  # part2 missing -> part3 must be stale
         with MaskWriter(f"{out}.part{p}", attrs={"model_id": "m0"}) as w:
             w.write(f"im{p}", np.zeros((3, 4, 5), np.uint8))
-    with pytest.raises(AssertionError, match="not contiguous"):
+    with pytest.raises(ValueError, match="not contiguous"):
         merge_mask_shards(out)
     # explicit n_processes overrides the glob and ignores the stale extra
     merged = merge_mask_shards(out, n_processes=2)
@@ -325,14 +325,20 @@ def test_merge_shards_rejects_wrong_shard_count_provenance(tmp_path):
         with MaskWriter(f"{out}.part{p}", attrs={"model_id": "m0",
                                                  "shard_count": claimed}) as w:
             w.write(f"im{p}", np.zeros((3, 4, 5), np.uint8))
-    with pytest.raises(AssertionError, match="stale"):
+    with pytest.raises(ValueError, match="stale"):
         merge_mask_shards(out)
-    with pytest.raises(AssertionError, match="stale"):
+    with pytest.raises(ValueError, match="stale"):
         merge_mask_shards(out, n_processes=4)  # explicit count checks too
-    # the two fresh shards alone merge fine
+    # the two fresh shards alone merge fine — and the merged single file
+    # must NOT inherit part-0's shard_count (it is no longer a shard)
     Path(f"{out}.part2").unlink()
     Path(f"{out}.part3").unlink()
-    assert merge_mask_shards(out).exists()
+    merged = merge_mask_shards(out)
+    assert merged.exists()
+    import h5py
+    with h5py.File(merged, "r") as f:
+        assert "shard_count" not in f.attrs
+        assert f.attrs["model_id"] == "m0"  # other attrs still copied
 
     # same guard on the embeddings merger
     emb = tmp_path / "emb.h5"
@@ -341,5 +347,5 @@ def test_merge_shards_rejects_wrong_shard_count_provenance(tmp_path):
             w.f.attrs["shard_count"] = claimed
             w.write(f"im{p}", np.zeros((1, 4, 2, 2), np.float32),
                     (20, 30), (10, 15))
-    with pytest.raises(AssertionError, match="stale"):
+    with pytest.raises(ValueError, match="stale"):
         merge_embedding_shards(emb)
