@@ -108,6 +108,12 @@ def main(argv=None):
     p.add_argument("--n_test", type=int, default=3)
     p.add_argument("--n_unlabeled", type=int, default=12,
                    help="unannotated images listed in 500unlabeled_sample.csv")
+    p.add_argument("--unlabeled_gt_xml", action="store_true",
+                   help="also write annotations_unlabeled.xml with the "
+                        "unlabeled images' true outlines — a HELD-OUT "
+                        "evaluation file no dataset class ever reads (the "
+                        "train glob is annotations_train[1-9].xml); lets "
+                        "tests measure pseudo-label quality against truth")
     p.add_argument("--height", type=int, default=640)
     p.add_argument("--width", type=int, default=400)
     args = p.parse_args(argv)
@@ -142,7 +148,7 @@ def main(argv=None):
             k += 1
         _write_xml(xml_dir / f"annotations_{split}.xml", elements)
 
-    unlabeled = []
+    unlabeled, unlabeled_elements = [], []
     for j in range(args.n_unlabeled):
         stem = stems[k]
         h = args.height + int(rng.integers(-40, 40))
@@ -151,7 +157,10 @@ def main(argv=None):
         cv2.imwrite(str(img_dir / f"{stem}.png"), _render_image(rng, polys, h, w))
         rows.append((stem, 1, 0, "L"))
         unlabeled.append(stem)
+        unlabeled_elements.append(_xml_image_element(j, stem, polys, h, w))
         k += 1
+    if args.unlabeled_gt_xml and unlabeled_elements:
+        _write_xml(xml_dir / "annotations_unlabeled.xml", unlabeled_elements)
 
     pd.DataFrame(rows, columns=["filestem", "projection", "lateralproj",
                                 "laterality"]).set_index("filestem").to_csv(

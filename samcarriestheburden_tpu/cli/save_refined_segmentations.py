@@ -18,6 +18,15 @@ def main(argv=None):
     p.add_argument("--model_id", type=str, required=True)
     p.add_argument("--n_files", type=str, default="all", help="'500' or 'all'")
     p.add_argument("--data_root", type=str, default="data")
+    p.add_argument("--refiner", choices=["sam", "rndwalk"], default="sam",
+                   help="refinement engine: the reference's SAM protocol, or "
+                        "the random-walk baseline (reference seg_refinement"
+                        ".py:119) writing rndwalk_<count>.h5 for "
+                        "train_on_pseudo_labels --pseudo_label rndwalk")
+    p.add_argument("--bg_erosion_radius", type=int, default=8,
+                   help="rndwalk: background seed erosion radius")
+    p.add_argument("--laplace_sigma", type=float, default=5.0,
+                   help="rndwalk: edge-weight sigma")
     p.add_argument("--sam_type", choices=["SAM", "MedSAM"], default="SAM")
     p.add_argument("--sam_checkpoint", type=str, default=None,
                    help="override the sam_type checkpoint convention")
@@ -65,28 +74,38 @@ def main(argv=None):
     H, W = UNET_INPUT_HW
 
     refine_params = {
-        "prompts2use": [list(args.prompt1st), list(args.prompt2nd)],
         "ccl_selection": args.ccl_selection,
         "morph_op": args.morph_op,
         "struct_elem": args.struct_elem,
         "radius": args.radius,
     }
-    if args.sam_checkpoint is not None:
+    if args.refiner == "rndwalk":
+        from samcarriestheburden_tpu.engine.refinement import RndWalkSegRefiner
+
+        refine_params.update({"bg_erosion_radius": args.bg_erosion_radius,
+                              "laplace_sigma": args.laplace_sigma})
+        refiner = RndWalkSegRefiner(
+            args.bg_erosion_radius, args.laplace_sigma,
+            img_path=Path(args.data_root) / "img_only_front_all_left")
+        args.img_batch = 1  # per-image solver, no batched path
+    elif args.sam_checkpoint is not None:
         from samcarriestheburden_tpu.engine.decoder_head import SamMaskDecoderHead
 
         import jax.numpy as jnp
 
+        refine_params["prompts2use"] = [list(args.prompt1st), list(args.prompt2nd)]
         head = SamMaskDecoderHead(args.sam_checkpoint, args.sam_model_type,
                                   args.embeddings,
                                   compute_dtype={"float32": jnp.float32,
                                                  "bfloat16": jnp.bfloat16}[
                                                      args.decoder_dtype])
-        sam_refiner = SamSegRefiner(head, None, refine_params["prompts2use"])
+        refiner = SamSegRefiner(head, None, refine_params["prompts2use"])
     else:
-        sam_refiner = SamSegRefiner(args.sam_type, None,
-                                    refine_params["prompts2use"],
-                                    data_root=args.data_root)
-    seg_processor = SegEnhance(sam_refiner, refine_params["ccl_selection"],
+        refine_params["prompts2use"] = [list(args.prompt1st), list(args.prompt2nd)]
+        refiner = SamSegRefiner(args.sam_type, None,
+                                refine_params["prompts2use"],
+                                data_root=args.data_root)
+    seg_processor = SegEnhance(refiner, refine_params["ccl_selection"],
                                refine_params["morph_op"],
                                refine_params["struct_elem"],
                                refine_params["radius"], None)
@@ -99,9 +118,13 @@ def main(argv=None):
 
     files = select_unlabeled_files(args.data_root, args.n_files)
     img_dir = Path(args.data_root) / "img_only_front_all_left"
-    id_str = "_".join(args.prompt1st) + "_refine_" + "_".join(args.prompt2nd)
-    out = (Path(args.data_root) / "seg_masks" / args.model_id /
-           f"sam_{id_str}_{len(files) if args.n_files != '500' else 500}.h5")
+    count = len(files) if args.n_files != "500" else 500
+    if args.refiner == "rndwalk":
+        name = f"rndwalk_{count}.h5"
+    else:
+        id_str = "_".join(args.prompt1st) + "_refine_" + "_".join(args.prompt2nd)
+        name = f"sam_{id_str}_{count}.h5"
+    out = Path(args.data_root) / "seg_masks" / args.model_id / name
     if jax.process_count() > 1:
         # multi-host sweep: each process refines its strided slice of the
         # file list on its local chip(s) (per-image work, no collectives) and
@@ -156,6 +179,8 @@ def main(argv=None):
             with timer.phase("enhance"):
                 if bs == 1:
                     refined, est_dice = seg_processor.enhance(y_hat[0], chunk[0])
+                    if est_dice is None:  # rndwalk has no IoU-head signal
+                        est_dice = jnp.full((refined.shape[0],), jnp.nan)
                     refined, est_dice = refined[None], est_dice[None]
                 else:
                     refined, est_dice = seg_processor.enhance_batch(y_hat, chunk)

@@ -17,7 +17,13 @@ from samcarriestheburden_tpu.cli.common import (
 
 def pseudo_label_path(data_root: str, model_id: str, pseudo_label: str,
                       prompt1st, prompt2nd, suffix: str = "all") -> Path:
-    """Path conventions (reference training_on_pseudo_labels.py:55-63)."""
+    """Path conventions (reference training_on_pseudo_labels.py:55-63).
+
+    ``rndwalk`` is an extension beyond the reference's {raw, sam, nnunet}:
+    the reference implements the random-walk refiner (seg_refinement.py:119)
+    but never feeds its output back into retraining; here the
+    ``save_refined_segmentations --refiner rndwalk`` sweep writes
+    ``rndwalk_<suffix>.h5`` and this driver consumes it."""
     root = Path(data_root) / "seg_masks"
     if pseudo_label == "nnunet":
         return root / "SegGraz_nnunet_predictions.h5"
@@ -26,6 +32,8 @@ def pseudo_label_path(data_root: str, model_id: str, pseudo_label: str,
     if pseudo_label == "sam":
         name = "_".join(prompt1st) + "_refine_" + "_".join(prompt2nd)
         return root / model_id / f"sam_{name}_{suffix}.h5"
+    if pseudo_label == "rndwalk":
+        return root / model_id / f"rndwalk_{suffix}.h5"
     raise ValueError(f"unknown pseudo_label {pseudo_label}")
 
 
@@ -36,7 +44,8 @@ def main(argv=None):
     parser.add_argument("--split500", default=True,
                         action=argparse.BooleanOptionalAction,
                         help="use the predefined 500 split instead of all data")
-    parser.add_argument("--pseudo_label", choices=["raw", "sam", "nnunet"],
+    parser.add_argument("--pseudo_label",
+                        choices=["raw", "sam", "nnunet", "rndwalk"],
                         required=True, help="pseudo label method")
     parser.add_argument("--prompt1st", type=str, nargs="*", default=None)
     parser.add_argument("--prompt2nd", type=str, nargs="*", default=None)

@@ -34,6 +34,8 @@ _SLOW_TESTS = {
     "test_decoder_head_predict_mask",
     "test_seg_enhance_pipeline",
     "test_preprocess_study_end_to_end",
+    "test_sam_refine_study_end_to_end",
+    "test_rndwalk_study_end_to_end",
 }
 
 

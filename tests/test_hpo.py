@@ -171,22 +171,87 @@ def test_hpo_visualize(tmp_path):
     assert (tmp_path / "plots" / "slice_x.png").exists()
 
 
-def test_preprocess_study_end_to_end(data_root):
-    """Full objective over the synthetic data root with a registered U-Net."""
+def _register_tiny_unet(data_root):
     import jax
 
     from samcarriestheburden_tpu.config import UNetConfig
-    from samcarriestheburden_tpu.hpo.objectives import build_preprocess_study
     from samcarriestheburden_tpu.models import unet
     from samcarriestheburden_tpu.models.modelio import ModelRegistry
 
     cfg = UNetConfig(n_channels=1, n_classes=17, base_channels=4, n_last_channel=4)
     params = unet.init(jax.random.PRNGKey(0), cfg)
     reg = ModelRegistry(data_root / "model_registry")
-    mid = reg.register(cfg, params)
+    return reg.register(cfg, params)
 
+
+def test_preprocess_study_end_to_end(data_root):
+    """Full objective over the synthetic data root with a registered U-Net."""
+    from samcarriestheburden_tpu.hpo.objectives import build_preprocess_study
+
+    mid = _register_tiny_unet(data_root)
     objective, study = build_preprocess_study(mid, data_root=str(data_root))
     study.optimize(objective, n_trials=2)
     assert len(study.trials) == 2
     assert all(t.state == "complete" for t in study.trials)
     assert np.isfinite(study.best_value)
+
+
+def test_sam_refine_study_end_to_end(data_root):
+    """The SAM prompt × morphology study (reference
+    hpo_bce_unet_sam_postprocess.py:16-57) executes end-to-end: a registered
+    tiny U-Net supplies val probabilities, the golden tiny-SAM decoder head
+    refines them, and the grid sampler walks real grid points to finite
+    Dice-difference scores."""
+    from pathlib import Path
+
+    from samcarriestheburden_tpu.data.h5io import EmbeddingWriter
+    from samcarriestheburden_tpu.engine.decoder_head import SamMaskDecoderHead
+    from samcarriestheburden_tpu.hpo.objectives import build_sam_refine_study
+    from samcarriestheburden_tpu.models import convert
+    from samcarriestheburden_tpu.config import sam_vit_t_config
+
+    mid = _register_tiny_unet(data_root)
+
+    # decoder head over a synthetic embedding for the ONE val-split image
+    # (img003, 200x120 -> resize-longest-128 input frame 128x77)
+    golden = np.load(Path(__file__).parent / "golden" / "sam_e2e.npz")
+    sd = {k[3:]: golden[k] for k in golden.files if k.startswith("sd/")}
+    cfg = sam_vit_t_config()
+    params = {
+        "prompt_encoder": convert.prompt_encoder_params_from_torch(sd),
+        "mask_decoder": convert.mask_decoder_params_from_torch(sd, cfg.mask_decoder),
+    }
+    rng = np.random.default_rng(7)
+    h5 = data_root / "emb.h5"
+    with EmbeddingWriter(h5, checkpoint_name="tiny.npz",
+                         img_encoder_img_size=128) as w:
+        w.write("img003", rng.standard_normal((1, 16, 8, 8)).astype(np.float32),
+                (200, 120), (128, 77))
+    head = SamMaskDecoderHead(None, "vit_t", h5, params=params)
+
+    objective, study = build_sam_refine_study(mid, data_root=str(data_root),
+                                              decoder_head=head)
+    study.optimize(objective, n_trials=2)
+    assert len(study.trials) == 2
+    assert all(t.state == "complete" for t in study.trials)
+    assert np.isfinite(study.best_value)
+    # the grid covers the reference search space
+    assert {"prompts2use1st", "prompts2use2nd", "morph_op",
+            "structuring_element", "radius"} <= set(study.trials[0].params)
+
+
+def test_rndwalk_study_end_to_end(data_root):
+    """The random-walk study (reference hpo_bce_unet_rndwalk_postprocess.py:
+    15-49) executes end-to-end under its default TPE sampler: each trial
+    erodes a background band, solves the walk on the real val image, and
+    returns a finite Dice-difference score."""
+    from samcarriestheburden_tpu.hpo.objectives import build_rndwalk_study
+
+    mid = _register_tiny_unet(data_root)
+    objective, study = build_rndwalk_study(mid, data_root=str(data_root))
+    study.optimize(objective, n_trials=2)
+    assert len(study.trials) == 2
+    assert all(t.state == "complete" for t in study.trials)
+    assert np.isfinite(study.best_value)
+    assert {"background_erosion_radius", "laplace_sigma",
+            "radius"} <= set(study.trials[0].params)
