@@ -1,14 +1,25 @@
-"""Export the prompt-encoder + mask-decoder as a StableHLO program
-(reference scripts/export_onnx_model.py, ONNX → StableHLO).
+"""Export the prompt-encoder + mask-decoder for deployment
+(reference scripts/export_onnx_model.py).
+
+Two formats:
+
+* ``--format stablehlo`` (default) — serialise via ``jax.export`` for PJRT
+  runtimes (TPU/GPU/CPU), with shape polymorphism and optional bf16/int8
+  weight quantization.
+* ``--format onnx`` — a consumable opset-17 ``.onnx`` artifact with the
+  reference's SamOnnxModel interface (dynamic batch/point axes), emitted by
+  the dependency-free graph builder in export/onnx_graph.py and validated
+  against the eager jax program by the numpy evaluator (the analogue of the
+  reference's onnxruntime round-trip, export_onnx_model.py:161-167).
 
 python -m samcarriestheburden_tpu.cli.export_decoder \\
-    --checkpoint <ckpt> --model-type vit_h --output decoder.stablehlo
+    --checkpoint <ckpt> --model-type vit_h --output decoder.onnx --format onnx
 
 The reference's ``--gelu-approx`` flag (export_onnx_model.py:117-120, swaps
 erf GELU for the tanh approximation because some ONNX runtimes lack
 ``Erf``) is deliberately NOT carried: StableHLO consumers lower ``erf``
-natively, so the exported program keeps exact-GELU numerics — the swap
-would only add avoidable drift.
+natively and ``Erf`` is core ONNX since opset 9 — the swap would only add
+avoidable drift.
 """
 
 from __future__ import annotations
@@ -18,11 +29,15 @@ import argparse
 
 def main(argv=None):
     p = argparse.ArgumentParser(
-        description="Export the SAM prompt encoder and mask decoder to StableHLO.")
+        description="Export the SAM prompt encoder and mask decoder.")
     p.add_argument("--checkpoint", type=str, required=True,
                    help="The path to the SAM model checkpoint.")
     p.add_argument("--output", type=str, required=True,
-                   help="The filename to save the StableHLO program to.")
+                   help="The filename to save the exported program to.")
+    p.add_argument("--format", choices=["stablehlo", "onnx"],
+                   default="stablehlo",
+                   help="stablehlo for PJRT runtimes; onnx for an "
+                        "onnxruntime/web-consumable artifact")
     p.add_argument("--model-type", type=str, required=True,
                    help="In ['default', 'vit_h', 'vit_l', 'vit_b', 'vit_t'].")
     p.add_argument("--return-single-mask", action="store_true",
@@ -54,6 +69,61 @@ def main(argv=None):
 
     print("Loading model...")
     model = sam_model_registry[args.model_type](checkpoint=args.checkpoint)
+
+    if args.format == "onnx":
+        if args.quantize is not None:
+            p.error("--quantize applies to --format stablehlo only (the "
+                    "reference quantizes via onnxruntime offline)")
+        if args.batch is not None or args.num_points is not None:
+            p.error("--format onnx always exports dynamic batch/point axes")
+        from samcarriestheburden_tpu.export.onnx_graph import \
+            export_decoder_onnx
+
+        path = export_decoder_onnx(
+            model, args.output, return_single_mask=args.return_single_mask,
+            use_stability_score=args.use_stability_score,
+            return_extra_metrics=args.return_extra_metrics)
+        print(f"wrote {path} ({path.stat().st_size} bytes)")
+        if args.validate:
+            import jax.numpy as jnp
+
+            from samcarriestheburden_tpu.export.onnx_eval import \
+                evaluate_model
+
+            emb = model.cfg.prompt_encoder.image_embedding_size
+            g4 = emb[0] * 4
+            td = model.cfg.mask_decoder.transformer_dim
+            rng = np.random.default_rng(0)
+            feeds = {
+                "image_embeddings":
+                    rng.standard_normal((1, td, *emb)).astype(np.float32),
+                "point_coords":
+                    rng.uniform(0, model.img_size, (1, 2, 2)).astype(np.float32),
+                "point_labels": np.ones((1, 2), np.float32),
+                "mask_input": np.zeros((1, 1, g4, g4), np.float32),
+                "has_mask_input": np.zeros((1,), np.float32),
+                "orig_im_size": np.asarray([600, 800], np.int32),
+            }
+            got = evaluate_model(path.read_bytes(), feeds)
+            fn = make_decoder_fn(model, args.return_single_mask,
+                                 args.use_stability_score,
+                                 args.return_extra_metrics)
+            ref = fn(model.params, jnp.asarray(feeds["image_embeddings"]),
+                     jnp.asarray(feeds["point_coords"]),
+                     jnp.asarray(feeds["point_labels"], jnp.int32),
+                     jnp.asarray(feeds["mask_input"]),
+                     jnp.asarray(feeds["has_mask_input"]),
+                     jnp.asarray(feeds["orig_im_size"]))
+            names = ["masks", "prepadded_size", "iou_predictions"]
+            if args.return_extra_metrics:
+                names += ["stability_scores", "areas"]
+            names += ["low_res_masks"]
+            for name, r in zip(names, ref):
+                np.testing.assert_allclose(got[name], np.asarray(r),
+                                           atol=1e-4, rtol=1e-4)
+            print("validation OK: parsed .onnx graph matches eager outputs")
+        return path
+
     path = export_decoder(model, args.output,
                           return_single_mask=args.return_single_mask,
                           use_stability_score=args.use_stability_score,

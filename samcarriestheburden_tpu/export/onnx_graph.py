@@ -419,8 +419,7 @@ def build_decoder_graph(model, return_single_mask: bool,
                                     g.const(reweight)))
         best = g.op("ArgMax", score, axis=1, keepdims=1)      # (B, 1) int64
         masks = g.unsqueeze(
-            g.op("GatherND", masks, g.unsqueeze(best, [-1]), batch_dims=1),
-            [1])                                              # (B, 1, h, w)
+            g.op("GatherND", masks, best, batch_dims=1), [1])  # (B, 1, h, w)
         scores = g.op("GatherND", scores, best, batch_dims=1)
         scores = g.unsqueeze(scores, [1])                     # (B, 1)
         k_out = 1
@@ -435,8 +434,9 @@ def build_decoder_graph(model, return_single_mask: bool,
 
     g.output("masks", np.float32, ("b", k_out, img_size, img_size))
     g.output("prepadded_size", np.int32, (2,))
+    g.op("Identity", scores, out="iou_predictions")
     g.output("iou_predictions", np.float32, ("b", k_out))
-    low_res = g.op("Identity", masks, out="low_res_masks")
+    g.op("Identity", masks, out="low_res_masks")
     g.output("low_res_masks", np.float32, ("b", k_out, g4h, g4w))
 
     if return_extra_metrics:

@@ -7,11 +7,14 @@ implemented from first principles: this module encodes/decodes the subset of
 the ONNX protobuf schema (ModelProto / GraphProto / NodeProto / TensorProto /
 ValueInfoProto / AttributeProto) directly at the protobuf *wire-format* level.
 
-The field-number tables below were validated empirically by round-tripping a
-model produced by torch's own C++ ONNX serializer through :func:`parse_model`
-(see tests/test_onnx_export.py) — i.e. the schema constants are checked
-against an independent, battle-tested producer, not just against this
-module's own writer.
+Consumers: :mod:`export.onnx_graph` builds the SAM decoder graph on these
+primitives (``cli/export_decoder --format onnx``), and
+:mod:`export.onnx_eval` interprets parsed graphs.  The field-number tables
+below are validated in tests/test_onnx_export.py by round-tripping a model
+produced by torch's own C++ ONNX serializer (``graph._export_onnx``) through
+:func:`parse_model` — i.e. the schema constants are checked against an
+independent, battle-tested producer, not just against this module's own
+writer.
 
 Wire format refresher (https://protobuf.dev/programming-guides/encoding):
 every field is ``(field_no << 3 | wire_type)`` varint key, then a payload:
@@ -112,8 +115,9 @@ def _f_float(field: int, v: float) -> bytes:
 
 def make_tensor(name: str, array: np.ndarray) -> bytes:
     """TensorProto: dims=1, data_type=2, name=8, raw_data=9."""
-    arr = np.ascontiguousarray(array)
-    out = b"".join(_f_varint(1, int(d)) for d in arr.shape)
+    shape = np.asarray(array).shape  # before ascontiguousarray: it promotes
+    arr = np.ascontiguousarray(array)  # 0-d arrays to 1-d
+    out = b"".join(_f_varint(1, int(d)) for d in shape)
     out += _f_varint(2, onnx_dtype(arr.dtype))
     if name:
         out += _f_string(8, name)

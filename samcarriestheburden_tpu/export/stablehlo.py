@@ -17,14 +17,15 @@ pre-padding size (the reference's ``resize_longest_image_size``); the final
 crop + resize to the original frame is one host resize for the consumer —
 or use ``postprocess_to_grid`` for a fixed target grid.
 
-ONNX interchange: no ``.onnx`` artifact is emitted here — this build
-environment has neither the ``onnx`` package nor network access, and the
-deployment target (PJRT runtimes: TPU/GPU/CPU) consumes StableHLO natively.
-A consumer who needs onnxruntime/web can convert the exported module offline
-with ``jax2onnx`` (or re-trace through ``jax.experimental.jax2tf`` +
-``tf2onnx``); the exported program is deliberately kept to ops those
-converters cover (matmul/LN/softmax/resize — no Pallas custom calls on the
-decoder path).
+ONNX interchange: the same decoder program is also emitted as a real
+``.onnx`` artifact by :mod:`export.onnx_graph` (``cli/export_decoder
+--format onnx``) — built node-by-node on the dependency-free wire codec in
+:mod:`export.onnx_proto`, since this environment has neither the ``onnx``
+package nor onnxruntime.  This module stays the PJRT-native path
+(TPU/GPU/CPU consume StableHLO directly); both exports share
+:func:`make_decoder_fn`, whose program is deliberately kept to
+converter-friendly ops (matmul/LN/softmax/resize — no Pallas custom calls
+on the decoder path).
 """
 
 from __future__ import annotations

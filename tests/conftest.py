@@ -36,6 +36,8 @@ _SLOW_TESTS = {
     "test_preprocess_study_end_to_end",
     "test_sam_refine_study_end_to_end",
     "test_rndwalk_study_end_to_end",
+    "test_decoder_graph_dynamic_axes",
+    "test_export_decoder_cli_onnx",
 }
 
 
