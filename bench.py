@@ -48,10 +48,10 @@ _PEAK_TFLOPS = {
 A100_BF16_TFLOPS = 312  # the reference estimate's hardware (SAM paper A100)
 
 
-def _xla_flops(fn, *args):
-    """FLOPs XLA's cost model assigns to ONE execution of ``fn(*args)``
-    (dot/conv dominated; int8 dots count as flops too).  None when the
-    backend doesn't expose cost analysis.  Already-jitted callables are
+def _xla_cost(fn, *args):
+    """XLA's cost analysis dict for ONE execution of ``fn(*args)`` — keys
+    'flops' and 'bytes accessed' (plus per-operand byte entries).  None when
+    the backend doesn't expose cost analysis.  Already-jitted callables are
     lowered directly, so with the persistent compilation cache enabled in
     main() this re-reads the cached compile rather than paying a second
     full XLA compile of the big programs."""
@@ -60,10 +60,126 @@ def _xla_flops(fn, *args):
     try:
         jitted = fn if hasattr(fn, "lower") else jax.jit(fn)
         ca = jitted.lower(*args).compile().cost_analysis()
-        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-        return float(ca["flops"])
+        return ca[0] if isinstance(ca, (list, tuple)) else ca
     except Exception:
         return None
+
+
+def _xla_flops(fn, *args):
+    """FLOPs XLA's cost model assigns to ONE execution of ``fn(*args)``
+    (dot/conv dominated; int8 dots count as flops too; Pallas custom calls
+    contribute their declared ``pl.CostEstimate.flops`` — verified by
+    :func:`flops_convention_check` and tests/test_bench_flops.py)."""
+    ca = _xla_cost(fn, *args)
+    return float(ca["flops"]) if ca is not None else None
+
+
+def flops_convention_check():
+    """Pin XLA's flop convention on the ACTIVE backend at bench time: a
+    known (m, k) @ (k, n) matmul must count 2·m·n·k (the standard MFU
+    convention), and a Pallas custom call's declared CostEstimate.flops must
+    surface in the program total (round-4 VERDICT #2 — the published MFU is
+    only meaningful if both hold).  Returns a dict recorded in the bench
+    JSON; 'ok' is True when the matmul ratio is exactly 1 and the custom
+    call's flops are visible (TPU) or skipped (CPU, no Pallas lowering)."""
+    import jax
+    import jax.numpy as jnp
+
+    m, k, n = 128, 256, 512
+    a = jnp.zeros((m, k), jnp.bfloat16)
+    b = jnp.zeros((k, n), jnp.bfloat16)
+    f = _xla_flops(lambda a, b: a @ b, a, b)
+    ratio = None if f is None else f / (2 * m * n * k)
+
+    pallas_visible = None
+    if jax.default_backend() == "tpu":
+        from jax.experimental import pallas as pl
+
+        declared = 1234567
+
+        def kern(x_ref, o_ref):
+            o_ref[...] = x_ref[...] * 2.0
+
+        def pf(x):
+            return pl.pallas_call(
+                kern, out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+                cost_estimate=pl.CostEstimate(
+                    flops=declared, transcendentals=0,
+                    bytes_accessed=x.size * 2),
+            )(x)
+
+        fp = _xla_flops(pf, jnp.zeros((128, 128), jnp.bfloat16))
+        pallas_visible = fp is not None and abs(fp - declared) < 1
+
+    # lax.scan bodies are counted ONCE by XLA's cost model regardless of
+    # trip count (measured on both backends: scan(8) of a matmul = 1.00x
+    # the single-matmul count, unrolled(8) = 8.00x).  This is WHY the
+    # encoder — whose windowed layers run as per-run scans — must use the
+    # analytic count for MFU, not the XLA one.
+    ws = jnp.zeros((64, 64), jnp.bfloat16)
+    xs = jnp.zeros((32, 64), jnp.bfloat16)
+    f1 = _xla_flops(lambda x: x @ ws, xs)
+    f8 = _xla_flops(
+        lambda x: jax.lax.scan(lambda c, _: (c @ ws, None), x, None,
+                               length=8)[0], xs)
+    scan_once = (f1 is not None and f8 is not None
+                 and abs(f8 / f1 - 1.0) < 0.1)
+    return {"matmul_2mnk_ratio": ratio,
+            "pallas_cost_estimate_counted": pallas_visible,
+            "scan_body_counted_once": scan_once,
+            # CPU counts a fraction of a % of elementwise flops on top of
+            # the 2mnk dot; TPU is exactly 1.0
+            "ok": (ratio is not None and abs(ratio - 1.0) < 0.02
+                   and pallas_visible is not False)}
+
+
+def analytic_encoder_flops(cfg, compact: bool | None = None) -> float:
+    """Analytic 2·m·n·k FLOPs for ONE image through the ViT encoder —
+    matmul/conv terms only (LN/softmax/GELU elementwise work excluded), the
+    standard convention for MFU accounting.  Published alongside the
+    XLA-counted figure so the MFU normalization doesn't rest on a single
+    instrument (round-4 VERDICT #2).
+
+    Terms (reference image_encoder.py structure): patch-embed conv, per-layer
+    qkv (6Td²) + out-proj (2Td²) + MLP (16Td²), attention QKᵀ + P·V
+    (4·T·ctx·d) with the decomposed rel-pos einsums (2·T·ctx·(kh+kw)·…),
+    and the 2-conv neck.  Windowed layers run on the padded 70×70 grid in
+    the flat layout or on the compact ragged-window rows in serving mode
+    (models/image_encoder.py compact_window_groups)."""
+    ie = cfg.image_encoder
+    d, depth = ie.embed_dim, ie.depth
+    ws = ie.window_size
+    g = ie.img_size // 16               # token grid side
+    T = g * g                           # real tokens
+    n_glob = len(ie.global_attn_indexes)
+    n_win = depth - n_glob
+
+    if compact is None:
+        import jax
+
+        compact = jax.default_backend() == "tpu"
+    if compact:
+        from samcarriestheburden_tpu.models.image_encoder import \
+            compact_window_groups
+
+        rows = sum(gr["nh"] * gr["nw"] * gr["np"]
+                   for gr in compact_window_groups(g, g, ws))
+    else:
+        pad = -g % ws
+        rows = (g + pad) ** 2           # zero-padded window grid
+
+    proj_mlp = (6 + 2 + 16) * d * d     # per token-row per layer
+    # attention per token-row: QKᵀ + P·V = 4·ctx·d (ctx = ws² windowed, T
+    # global) + the two decomposed rel-pos einsums q·Rh / q·Rw = 4·side·d
+    # (side = ws windowed, g global); both tiny next to proj_mlp
+    att_win = (4 * (ws * ws) + 4 * ws) * d
+    att_glob = (4 * T + 4 * g) * d
+    flops = (n_win * (proj_mlp + att_win) * rows
+             + n_glob * (proj_mlp + att_glob) * T)
+    flops += 2 * T * (3 * 16 * 16) * d                       # patch embed
+    flops += 2 * T * d * ie.out_chans \
+        + 2 * T * 9 * ie.out_chans * ie.out_chans            # neck convs
+    return float(flops)
 
 
 def _time_it(fn, *args, iters=3, warmup=2, inner=8):
@@ -334,13 +450,19 @@ def main():
                      warmup=2, inner=2)
     amg_points_per_sec = ppb / t_amg
 
-    # ---- FLOPs + MFU per leg (VERDICT r3 #3: hardware-normalize) --------
-    # XLA-counted flops of each jitted program / measured wall time / chip
-    # peak.  The CCL-bearing enhance path is excluded (while_loop flops are
-    # trip-count-dependent and XLA's static count is not meaningful there).
+    # ---- FLOPs + MFU per leg (VERDICT r3 #3 + r4 #2: hardware-normalize
+    # with a CALIBRATED instrument).  Convention pinned at runtime by
+    # flops_convention_check(): XLA counts matmuls at 2mnk and includes
+    # Pallas CostEstimates, BUT counts lax.scan bodies ONCE — so the
+    # encoder (whose windowed layers run as per-run scans) gets its MFU
+    # from the analytic 2mnk count; the scan-free legs (refine decode,
+    # U-Net train step, AMG batch) keep the XLA count.  The CCL-bearing
+    # enhance path is excluded (while_loop flops are trip-count-dependent).
     dev = jax.devices()[0]
     peaks = _PEAK_TFLOPS.get(getattr(dev, "device_kind", ""), None)
-    f_enc = _xla_flops(encode, encode_params, imgs, sizes)
+    convention = flops_convention_check()
+    f_enc_xla = _xla_flops(encode, encode_params, imgs, sizes)
+    f_enc = batch * analytic_encoder_flops(model.cfg)
     f_ref = _xla_flops(refine, features, coords, labels)
     f_train = _xla_flops(train_step, x_all, y_all)
     f_amg = _xla_flops(amg_batch, amg_pts, features)
@@ -352,8 +474,10 @@ def main():
 
     pk = peaks[0] if peaks else None
     mfu = {
-        # bf16-peak-normalized MFU (the standard convention); the encoder
-        # additionally reports its int8-peak utilization when serving int8
+        # the encoder serves its big matmuls as int8 MACs when quantized, so
+        # the int8-peak figure is its honest utilization; the bf16-peak one
+        # is the cross-paper convention.  Both use the ANALYTIC flop count
+        # (the XLA count misses scanned layer bodies, see flops_convention).
         "encoder": _mfu(f_enc, t_encode, pk),
         "encoder_vs_int8_peak": _mfu(f_enc, t_encode,
                                      peaks[1] if peaks and quantize else None),
@@ -364,9 +488,12 @@ def main():
     # MFU the reference's torch encoder would need on its OWN hardware to
     # hit the 0.30 s/img A100 figure the 1.8 img/s estimate credits it with:
     # low single digits => the estimate is generous to the reference, and
-    # vs_baseline is a LOWER bound on the true multiplier (BENCHMARKS.md)
-    implied_ref_mfu = (round(f_enc / batch / 0.30 / (A100_BF16_TFLOPS * 1e12),
-                             4) if f_enc else None)
+    # vs_baseline is a LOWER bound on the true multiplier (BENCHMARKS.md).
+    # The reference's torch path is unwindowed-equivalent work: use the
+    # flat-layout analytic count (it computes pad tokens too).
+    implied_ref_mfu = round(
+        analytic_encoder_flops(model.cfg, compact=False) / 0.30
+        / (A100_BF16_TFLOPS * 1e12), 4)
 
     # measured same-hardware anchor (VERDICT r2 #3): a cached run of
     # tools/bench_reference_cpu.py — reference torch encoder + sequential
@@ -411,14 +538,20 @@ def main():
             "peak_tflops": ({"bf16": peaks[0], "int8": peaks[1]}
                             if peaks else None),
             "tflops_per_leg": {
-                "encoder_per_img": (round(f_enc / batch / 1e12, 3)
-                                    if f_enc else None),
+                "encoder_per_img_analytic": (round(f_enc / batch / 1e12, 3)
+                                             if f_enc else None),
+                # XLA count of the same program — UNDERCOUNTS the scanned
+                # layer bodies (see flops_convention.scan_body_counted_once);
+                # kept for instrument comparison, not used for MFU
+                "encoder_per_img_xla": (round(f_enc_xla / batch / 1e12, 3)
+                                        if f_enc_xla else None),
                 "refine_17class_2round": (round(f_ref / 1e12, 4)
                                           if f_ref else None),
                 "train_step": round(f_train / 1e12, 4) if f_train else None,
                 "amg_points_batch": round(f_amg / 1e12, 4) if f_amg else None,
             },
             "mfu": mfu,
+            "flops_convention": convention,
             "reference_implied_a100_mfu": implied_ref_mfu,
         },
     }

@@ -534,7 +534,8 @@ def fused_rel_attention_window3d(qkv: jnp.ndarray, tcat: jnp.ndarray, *,
 
 def _attn_kernel_global3d(qq_ref, kv_ref, tcat_ref, o_ref, *,
                           scale: float, kh: int, kw: int, hd: int,
-                          q_block: int, int8_qk: bool = False):
+                          q_block: int, int8_qk: bool = False,
+                          int8_pv: bool = False):
     """Global-layer q-blocked body with IN-KERNEL rel-pos (window3d design;
     the q-block's token offset comes from the grid position).
 
@@ -611,17 +612,34 @@ def _attn_kernel_global3d(qq_ref, kv_ref, tcat_ref, o_ref, *,
     probs = jnp.exp(logits)
     probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
 
-    out = jax.lax.dot_general(
-        probs.astype(dt), v, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    if int8_pv:
+        # MEASURED NEGATIVE (tools/bench_int8pv.py; BENCHMARKS.md round 5):
+        # 0.98x vs int8_qk at both global and window shapes, and the fixed
+        # scale 127 that keeps the dequant lane-friendly flushes the
+        # near-uniform ~1/n global-attention probabilities to zero (rel-err
+        # 0.42 at n=4096).  Kept opt-in for the reproducible A/B; never a
+        # serving default.
+        vf = v.astype(jnp.float32)
+        sv_c = jnp.max(jnp.abs(vf), axis=0, keepdims=True) / 127.0 + 1e-12
+        vi = jnp.round(vf / sv_c).astype(jnp.int8)           # (n, hd)
+        pi = jnp.round(probs * 127.0).astype(jnp.int8)       # (qb, n)
+        acc = jax.lax.dot_general(
+            pi, vi, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)                # (qb, hd)
+        out = acc.astype(jnp.float32) * (sv_c / 127.0)
+    else:
+        out = jax.lax.dot_general(
+            probs.astype(dt), v, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
     o_ref[0, 0] = out.astype(o_ref.dtype)
 
 
 @partial(jax.jit, static_argnames=("kh", "kw", "heads", "hd", "q_block",
-                                   "int8_qk", "interpret"))
+                                   "int8_qk", "int8_pv", "interpret"))
 def fused_rel_attention_global3d(qkv: jnp.ndarray, tcat: jnp.ndarray, *,
                                  kh: int, kw: int, heads: int, hd: int,
                                  q_block: int = 1024, int8_qk: bool = False,
+                                 int8_pv: bool = False,
                                  interpret: bool = False) -> jnp.ndarray:
     """Global-layer analogue of :func:`fused_rel_attention_window3d` —
     qkv: (B, N, heads·P); tcat: (hd, 256) packed rel tables (kh rows must be
@@ -637,7 +655,7 @@ def fused_rel_attention_global3d(qkv: jnp.ndarray, tcat: jnp.ndarray, *,
         q_block //= 2   # leave the token tail unwritten (garbage output)
     grid = (b, n // q_block, heads)
     kernel = partial(_attn_kernel_global3d, scale=scale, kh=kh, kw=kw, hd=hd,
-                     q_block=q_block, int8_qk=int8_qk)
+                     q_block=q_block, int8_qk=int8_qk, int8_pv=int8_pv)
     return pl.pallas_call(
         kernel,
         grid=grid,
