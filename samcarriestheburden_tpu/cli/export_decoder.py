@@ -71,9 +71,10 @@ def main(argv=None):
     model = sam_model_registry[args.model_type](checkpoint=args.checkpoint)
 
     if args.format == "onnx":
-        if args.quantize is not None:
-            p.error("--quantize applies to --format stablehlo only (the "
-                    "reference quantizes via onnxruntime offline)")
+        if args.quantize == "bf16":
+            p.error("--format onnx supports --quantize int8 (in-graph "
+                    "DequantizeLinear, the reference's quantize_dynamic "
+                    "analogue); bf16 is a stablehlo mode")
         if args.batch is not None or args.num_points is not None:
             p.error("--format onnx always exports dynamic batch/point axes")
         from samcarriestheburden_tpu.export.onnx_graph import \
@@ -82,7 +83,8 @@ def main(argv=None):
         path = export_decoder_onnx(
             model, args.output, return_single_mask=args.return_single_mask,
             use_stability_score=args.use_stability_score,
-            return_extra_metrics=args.return_extra_metrics)
+            return_extra_metrics=args.return_extra_metrics,
+            quantize=args.quantize)
         print(f"wrote {path} ({path.stat().st_size} bytes)")
         if args.validate:
             import jax.numpy as jnp
@@ -118,10 +120,22 @@ def main(argv=None):
             if args.return_extra_metrics:
                 names += ["stability_scores", "areas"]
             names += ["low_res_masks"]
-            for name, r in zip(names, ref):
-                np.testing.assert_allclose(got[name], np.asarray(r),
-                                           atol=1e-4, rtol=1e-4)
-            print("validation OK: parsed .onnx graph matches eager outputs")
+            if args.quantize is None:
+                for name, r in zip(names, ref):
+                    np.testing.assert_allclose(got[name], np.asarray(r),
+                                               atol=1e-4, rtol=1e-4)
+                print("validation OK: parsed .onnx graph matches eager "
+                      "outputs")
+            else:
+                # quantized weights shift logits; contract = thresholded
+                # masks agree (same gate as the stablehlo int8 path)
+                thr = model.mask_threshold
+                agree = ((got["masks"] > thr)
+                         == (np.asarray(ref[0]) > thr)).mean()
+                assert agree >= 0.99, \
+                    f"quantized onnx mask agreement {agree:.4f} < 0.99"
+                print(f"validation OK: int8 .onnx masks agree with fp32 at "
+                      f"{agree:.4%} of pixels")
         return path
 
     path = export_decoder(model, args.output,

@@ -255,6 +255,9 @@ def evaluate_graph(graph: Dict, feeds: Dict[str, np.ndarray],
                 at.get("coordinate_transformation_mode") == "half_pixel", \
                 f"unsupported Resize config {at}"
             r = _resize_linear_half_pixel(ins[0], ins[2].tolist())
+        elif op == "DequantizeLinear":
+            zp = ins[2] if len(ins) > 2 and ins[2] is not None else 0
+            r = (x.astype(np.float32) - zp) * ins[1]
         elif op == "Identity":
             r = x
         elif op == "Constant":

@@ -44,7 +44,7 @@ class GraphBuilder:
     initializers, so ``g.add(x, np.float32(0.5))`` just works.
     """
 
-    def __init__(self, name: str = "graph"):
+    def __init__(self, name: str = "graph", quantize: Optional[str] = None):
         self.name = name
         self.nodes: List[bytes] = []
         self.inputs: List[bytes] = []
@@ -52,6 +52,12 @@ class GraphBuilder:
         self.initializers: List[bytes] = []
         self._n = 0
         self._const_cache: Dict[Any, str] = {}
+        # 'int8': big weights stored as int8 initializers + per-tensor scale,
+        # dequantized in-graph (DequantizeLinear) — the analogue of the
+        # reference's onnxruntime quantize_dynamic (export_onnx_model.py:
+        # 187-201) and of export.stablehlo.quantize_params' int8 mode
+        self.quantize = quantize
+        self.quantize_min_size = 1024  # same gate as stablehlo's int8 mode
 
     # -- naming / constants -------------------------------------------------
 
@@ -144,9 +150,22 @@ class GraphBuilder:
 
     # -- NN building blocks (matching models/common.py semantics) ----------
 
+    def weight(self, w: np.ndarray) -> str:
+        """A weight constant, int8-quantized + in-graph-dequantized when the
+        builder's quantize mode and the stablehlo gate (≥2 dims, >1024
+        elements — the matmul/conv weights) say so."""
+        w = np.asarray(w, np.float32)
+        if self.quantize == "int8" and w.ndim >= 2 \
+                and w.size > self.quantize_min_size:
+            scale = max(float(np.max(np.abs(w))), 1e-12) / 127.0
+            wq = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+            return self.op("DequantizeLinear", self.const(wq),
+                           np.float32(scale))
+        return self.const(w)
+
     def linear(self, x, p: dict):
         """x @ w(in,out) + b (models/common.py:linear)."""
-        y = self.matmul(x, np.asarray(p["w"], np.float32))
+        y = self.matmul(x, self.weight(p["w"]))
         if "b" in p:
             y = self.add(y, np.asarray(p["b"], np.float32))
         return y
@@ -184,7 +203,7 @@ class GraphBuilder:
     def conv_nchw(self, x, p: dict, stride: int):
         """NCHW Conv from an HWIO jax kernel (VALID padding)."""
         w = np.transpose(np.asarray(p["w"], np.float32), (3, 2, 0, 1))  # OIHW
-        ins = [x, self.const(w)]
+        ins = [x, self.weight(np.ascontiguousarray(w))]
         if "b" in p:
             ins.append(self.const(np.asarray(p["b"], np.float32)))
         return self.op("Conv", *ins, strides=[stride, stride],
@@ -200,7 +219,7 @@ class GraphBuilder:
         """
         w = np.asarray(p["w"], np.float32)[::-1, ::-1]      # undo flip
         w = np.transpose(w, (2, 3, 0, 1))                   # IOHW
-        ins = [x, self.const(np.ascontiguousarray(w))]
+        ins = [x, self.weight(np.ascontiguousarray(w))]
         if "b" in p:
             ins.append(self.const(np.asarray(p["b"], np.float32)))
         return self.op("ConvTranspose", *ins, strides=[stride, stride],
@@ -276,7 +295,9 @@ def _dense_pe_grid(pe_params: dict, h: int, w: int) -> np.ndarray:
 def build_decoder_graph(model, return_single_mask: bool,
                         use_stability_score: bool = False,
                         return_extra_metrics: bool = False,
-                        stability_score_offset: float = 1.0) -> GraphBuilder:
+                        stability_score_offset: float = 1.0,
+                        quantize: Optional[str] = None,
+                        quantize_min_size: int = 1024) -> GraphBuilder:
     """Emit the SamOnnxModel-equivalent decoder graph for ``model``
     (a models.sam.SamModel).  Mirrors export.stablehlo.make_decoder_fn
     statement-for-statement; tests/test_onnx_export.py asserts numeric
@@ -294,7 +315,12 @@ def build_decoder_graph(model, return_single_mask: bool,
     nh = md_c.transformer_num_heads
     dr = md_c.attention_downsample_rate
 
-    g = GraphBuilder("sam_decoder")
+    if quantize not in (None, "int8"):
+        raise ValueError(f"onnx export supports quantize='int8' only, "
+                         f"got {quantize!r}")
+    g = GraphBuilder("sam_decoder", quantize=quantize)
+    g.quantize_min_size = quantize_min_size  # tests lower it: the tiny
+    #                     golden vit_t has no >1024-element weights
     image_embeddings = g.input("image_embeddings", np.float32,
                                (1, td, eh, ew))
     point_coords = g.input("point_coords", np.float32, ("b", "n", 2))
@@ -476,13 +502,15 @@ def _resize_longest(g: GraphBuilder, orig_im_size, longest: int):
 def export_decoder_onnx(model, out_path, *, return_single_mask: bool,
                         use_stability_score: bool = False,
                         return_extra_metrics: bool = False,
+                        quantize: Optional[str] = None,
                         opset: int = 17):
     """Write a consumable ``.onnx`` decoder artifact (the analogue of
-    reference scripts/export_onnx_model.py:122-159)."""
+    reference scripts/export_onnx_model.py:122-159; ``quantize='int8'``
+    mirrors its optional uint8 quantize_dynamic step, :187-201)."""
     from pathlib import Path
 
     g = build_decoder_graph(model, return_single_mask, use_stability_score,
-                            return_extra_metrics)
+                            return_extra_metrics, quantize=quantize)
     data = g.model_bytes(opset=opset,
                          doc="SAM decoder (SamOnnxModel semantics)")
     out_path = Path(out_path)

@@ -292,3 +292,33 @@ def test_export_decoder_cli_onnx(tmp_path):
     out_names = [o["name"] for o in m["graph"]["outputs"]]
     assert out_names == ["masks", "prepadded_size", "iou_predictions",
                          "low_res_masks"]
+
+
+def test_decoder_graph_int8_quantized(tmp_path):
+    """int8 weight quantization (the reference's quantize_dynamic analogue,
+    export_onnx_model.py:187-201): big weights become int8 initializers
+    dequantized in-graph; the artifact shrinks and thresholded masks agree
+    with the fp32 graph."""
+    model = _golden_model()
+    feeds = _feeds(2, 3, model, np.random.default_rng(4))
+
+    g_fp = build_decoder_graph(model, return_single_mask=True)
+    # the tiny golden vit_t has no >1024-element weights; lower the gate
+    # so the quantization path is exercised (production keeps 1024)
+    g_q = build_decoder_graph(model, return_single_mask=True,
+                              quantize="int8", quantize_min_size=64)
+    blob_fp, blob_q = g_fp.model_bytes(), g_q.model_bytes()
+    parsed = P.parse_model(blob_q)["graph"]
+    assert any(n["op_type"] == "DequantizeLinear" for n in parsed["nodes"])
+    int8_inits = [v for v in parsed["initializers"].values()
+                  if v.dtype == np.int8]
+    assert int8_inits, "quantized weights must be int8 initializers"
+    assert len(blob_q) < 0.65 * len(blob_fp), \
+        (len(blob_q), len(blob_fp))  # ~4x smaller quantized weights
+
+    out_fp = evaluate_model(blob_fp, feeds)
+    out_q = evaluate_model(blob_q, feeds)
+    agree = ((out_q["masks"] > 0.0) == (out_fp["masks"] > 0.0)).mean()
+    assert agree >= 0.99, f"mask agreement {agree:.4f}"
+    with np.testing.assert_raises(Exception):  # invalid mode rejected
+        build_decoder_graph(model, return_single_mask=True, quantize="bf16")
