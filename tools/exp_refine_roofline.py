@@ -105,6 +105,42 @@ def main():
           f"several, convT1 {up1*2/1e6:.0f} MB, convT2 {up2*2/1e6:.0f} MB, "
           f"masks fp32 {B*4*(4*H)**2*4/1e6:.0f} MB")
 
+    # ---- same arithmetic for the AMG device-batch leg -------------------
+    from samcarriestheburden_tpu.ops.mask_ops import (batched_mask_to_box,
+                                                      calculate_stability_score)
+
+    ppb = 64
+
+    @jax.jit
+    def amg_batch(points, features):
+        sparse = prompt_encoder.embed_unified_points(
+            params["prompt_encoder"], cfg.prompt_encoder,
+            points, jnp.ones(points.shape[:2], jnp.int32))
+        image_pe = prompt_encoder.get_dense_pe(params["prompt_encoder"],
+                                               cfg.prompt_encoder)
+        dense = prompt_encoder.no_mask_dense(params["prompt_encoder"],
+                                             cfg.prompt_encoder, 1)
+        masks, iou = mask_decoder.apply(
+            params["mask_decoder"], cfg.mask_decoder, features, image_pe,
+            sparse, dense, True, image_shared=True)
+        stab = calculate_stability_score(masks, 0.0, 1.0)
+        boxes = batched_mask_to_box(masks > 0)
+        return iou, stab, boxes
+
+    pts = jnp.asarray(rng.uniform(0, size, (ppb, 1, 2)), jnp.float32)
+    ca2 = _xla_cost(amg_batch, pts, features)
+    t2 = _time_it(amg_batch, pts, features, iters=5, warmup=2)
+    b2 = float(ca2["bytes accessed"])
+    f2 = float(ca2["flops"])
+    print(f"AMG batch ({ppb} points, multimask): t = {t2*1e3:.2f} ms")
+    print(f"  XLA flops = {f2/1e9:.2f} GFLOP -> "
+          f"{f2/t2/1e12:.2f} TFLOP/s = "
+          f"{100*f2/t2/1e12/V5E_BF16_TFLOPS:.1f}% of bf16 peak")
+    print(f"  XLA bytes = {b2/1e6:.1f} MB -> {b2/t2/1e9:.0f} GB/s = "
+          f"{100*b2/t2/1e9/V5E_HBM_GBPS:.1f}% of spec HBM BW; "
+          f"intensity {f2/b2:.1f} FLOP/B "
+          f"({'HBM-BOUND' if f2/b2 < 241 else 'compute-bound'})")
+
 
 if __name__ == "__main__":
     main()
