@@ -20,8 +20,7 @@ from samcarriestheburden_tpu.export import onnx_proto as P
 from samcarriestheburden_tpu.export.onnx_eval import (evaluate_graph,
                                                       evaluate_model)
 from samcarriestheburden_tpu.export.onnx_graph import (GraphBuilder,
-                                                       build_decoder_graph,
-                                                       export_decoder_onnx)
+                                                       build_decoder_graph)
 
 GOLDEN = Path(__file__).parent / "golden"
 
