@@ -62,6 +62,22 @@ def test_precompute_matches_predictor(model, tmp_path):
     assert tuple(inp) == pred.input_size
 
 
+def test_unrolled_blocks_match_scanned(model):
+    """``unroll_blocks=True`` (inline layers instead of lax.scan — the −4%
+    serving option, BENCHMARKS.md round 5) must be a pure scheduling change:
+    outputs bit-identical to the scanned default."""
+    from samcarriestheburden_tpu.engine.embeddings import make_encode_batch
+
+    rng = np.random.default_rng(3)
+    size = model.img_size
+    imgs = jnp.asarray(rng.integers(0, 255, (2, 3, size, size)), jnp.uint8)
+    sizes = jnp.asarray([[size, size - 16], [size - 8, size]], jnp.int32)
+    scanned = make_encode_batch(model, jnp.float32)(model.params, imgs, sizes)
+    unrolled = make_encode_batch(model, jnp.float32, unroll_blocks=True)(
+        model.params, imgs, sizes)
+    np.testing.assert_array_equal(np.asarray(scanned), np.asarray(unrolled))
+
+
 def test_precompute_sharded_on_mesh(model, tmp_path):
     from samcarriestheburden_tpu.parallel.mesh import make_mesh
 
