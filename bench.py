@@ -226,11 +226,10 @@ def main():
                              "became the sweet spot once the Pallas CCL gave "
                              "each map its own early exit (8 before; 32 "
                              "regresses)")
-    import argparse as _argparse
     parser.add_argument("--unroll_blocks",
-                        action=_argparse.BooleanOptionalAction, default=None,
+                        action=argparse.BooleanOptionalAction, default=None,
                         help="inline the windowed encoder layers instead of "
-                             "lax.scan (−4% encode time; ~108 s cold compile "
+                             "lax.scan (−4%% encode time; ~108 s cold compile "
                              "— amortised by the persistent compile cache). "
                              "Default: on for TPU, off for --smoke")
     parser.add_argument("--iters", type=int, default=3,

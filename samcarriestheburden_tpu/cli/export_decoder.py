@@ -56,6 +56,15 @@ def main(argv=None):
                    help="Round-trip the serialized program and check outputs")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args(argv)
+    # flag validation that depends only on args runs BEFORE the (potentially
+    # multi-GB) checkpoint load
+    if args.format == "onnx":
+        if args.quantize == "bf16":
+            p.error("--format onnx supports --quantize int8 (in-graph "
+                    "DequantizeLinear, the reference's quantize_dynamic "
+                    "analogue); bf16 is a stablehlo mode")
+        if args.batch is not None or args.num_points is not None:
+            p.error("--format onnx always exports dynamic batch/point axes")
     if args.cpu:
         import jax
 
@@ -71,12 +80,6 @@ def main(argv=None):
     model = sam_model_registry[args.model_type](checkpoint=args.checkpoint)
 
     if args.format == "onnx":
-        if args.quantize == "bf16":
-            p.error("--format onnx supports --quantize int8 (in-graph "
-                    "DequantizeLinear, the reference's quantize_dynamic "
-                    "analogue); bf16 is a stablehlo mode")
-        if args.batch is not None or args.num_points is not None:
-            p.error("--format onnx always exports dynamic batch/point axes")
         from samcarriestheburden_tpu.export.onnx_graph import \
             export_decoder_onnx
 
@@ -132,8 +135,9 @@ def main(argv=None):
                 thr = model.mask_threshold
                 agree = ((got["masks"] > thr)
                          == (np.asarray(ref[0]) > thr)).mean()
-                assert agree >= 0.99, \
-                    f"quantized onnx mask agreement {agree:.4f} < 0.99"
+                if agree < 0.99:
+                    raise RuntimeError(
+                        f"quantized onnx mask agreement {agree:.4f} < 0.99")
                 print(f"validation OK: int8 .onnx masks agree with fp32 at "
                       f"{agree:.4%} of pixels")
         return path

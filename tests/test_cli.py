@@ -4,6 +4,7 @@ train → save_segmentations pipeline over the synthetic data root."""
 import contextlib
 import io
 import os
+import zlib
 from pathlib import Path
 
 import numpy as np
@@ -392,7 +393,7 @@ def test_rndwalk_pipeline_closure_no_oracle(tmp_path, monkeypatch):
     out.parent.mkdir(parents=True, exist_ok=True)
     with MaskWriter(out, attrs={"model_id": theta_id}) as w:
         for stem in parser.available_file_names:
-            rng = np.random.default_rng(hash(stem) % 2 ** 31)
+            rng = np.random.default_rng(zlib.crc32(stem.encode()))
             gt = gt_masks(stem)
             noisy = corrupt(gt, rng)
             refined, est = enh.enhance(noisy, stem)
