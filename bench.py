@@ -551,9 +551,12 @@ def main():
             "tflops_per_leg": {
                 "encoder_per_img_analytic": (round(f_enc / batch / 1e12, 3)
                                              if f_enc else None),
-                # XLA count of the same program — UNDERCOUNTS the scanned
-                # layer bodies (see flops_convention.scan_body_counted_once);
-                # kept for instrument comparison, not used for MFU
+                # XLA count of the same program, kept for instrument
+                # comparison, not used for MFU.  With scan_blocks it
+                # UNDERCOUNTS (scan bodies counted once, see
+                # flops_convention.scan_body_counted_once); with
+                # unroll_blocks (the TPU default) it is complete and sits
+                # slightly ABOVE analytic from padded-qkv/rel-pos overhead
                 "encoder_per_img_xla": (round(f_enc_xla / batch / 1e12, 3)
                                         if f_enc_xla else None),
                 "refine_17class_2round": (round(f_ref / 1e12, 4)

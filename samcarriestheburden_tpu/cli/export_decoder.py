@@ -26,6 +26,67 @@ from __future__ import annotations
 
 import argparse
 
+# the SamOnnxModel input interface, in positional order
+_INPUT_NAMES = ("image_embeddings", "point_coords", "point_labels",
+                "mask_input", "has_mask_input", "orig_im_size")
+
+
+def _validation_inputs(model, b, n):
+    """Seeded random decoder inputs at batch ``b`` / ``n`` points."""
+    import numpy as np
+
+    emb = model.cfg.prompt_encoder.image_embedding_size
+    g4 = emb[0] * 4
+    td = model.cfg.mask_decoder.transformer_dim
+    rng = np.random.default_rng(0)
+    return (
+        rng.standard_normal((1, td, *emb)).astype(np.float32),
+        rng.uniform(0, model.img_size, (b, n, 2)).astype(np.float32),
+        np.ones((b, n), np.int32),
+        np.zeros((b, 1, g4, g4), np.float32),
+        np.zeros((b,), np.float32),
+        np.asarray([600, 800], np.int32),
+    )
+
+
+def _output_names(return_extra_metrics):
+    names = ["masks", "prepadded_size", "iou_predictions"]
+    if return_extra_metrics:
+        names += ["stability_scores", "areas"]
+    return names + ["low_res_masks"]
+
+
+def _reference_outputs(model, args, test_args):
+    import jax.numpy as jnp
+
+    from samcarriestheburden_tpu.export.stablehlo import make_decoder_fn
+
+    fn = make_decoder_fn(model, args.return_single_mask,
+                         args.use_stability_score, args.return_extra_metrics)
+    return fn(model.params, *map(jnp.asarray, test_args))
+
+
+def _check_outputs(model, got, ref, names, quantize, artifact):
+    """The shared validation contract for both export formats: exact
+    (atol/rtol 1e-4) without quantization; ≥99% thresholded-mask agreement
+    with it (the reference accepts quantized drift the same way,
+    scripts/export_onnx_model.py:187-201)."""
+    import numpy as np
+
+    if quantize is None:
+        for name, r in zip(names, ref):
+            np.testing.assert_allclose(got[name], np.asarray(r),
+                                       atol=1e-4, rtol=1e-4)
+        print(f"validation OK: {artifact} matches eager outputs")
+    else:
+        thr = model.mask_threshold
+        agree = ((got["masks"] > thr) == (np.asarray(ref[0]) > thr)).mean()
+        if agree < 0.99:
+            raise RuntimeError(
+                f"quantized {artifact} mask agreement {agree:.4f} < 0.99")
+        print(f"validation OK: {quantize} {artifact} masks agree with fp32 "
+              f"at {agree:.4%} of pixels")
+
 
 def main(argv=None):
     p = argparse.ArgumentParser(
@@ -73,7 +134,7 @@ def main(argv=None):
     import numpy as np
 
     from samcarriestheburden_tpu.export.stablehlo import (
-        export_decoder, load_exported, make_decoder_fn)
+        export_decoder, load_exported)
     from samcarriestheburden_tpu.models.build import sam_model_registry
 
     print("Loading model...")
@@ -90,56 +151,18 @@ def main(argv=None):
             quantize=args.quantize)
         print(f"wrote {path} ({path.stat().st_size} bytes)")
         if args.validate:
-            import jax.numpy as jnp
-
             from samcarriestheburden_tpu.export.onnx_eval import \
                 evaluate_model
 
-            emb = model.cfg.prompt_encoder.image_embedding_size
-            g4 = emb[0] * 4
-            td = model.cfg.mask_decoder.transformer_dim
-            rng = np.random.default_rng(0)
-            feeds = {
-                "image_embeddings":
-                    rng.standard_normal((1, td, *emb)).astype(np.float32),
-                "point_coords":
-                    rng.uniform(0, model.img_size, (1, 2, 2)).astype(np.float32),
-                "point_labels": np.ones((1, 2), np.float32),
-                "mask_input": np.zeros((1, 1, g4, g4), np.float32),
-                "has_mask_input": np.zeros((1,), np.float32),
-                "orig_im_size": np.asarray([600, 800], np.int32),
-            }
+            test_args = _validation_inputs(model, 1, 2)
+            feeds = dict(zip(_INPUT_NAMES, test_args))
+            # the ONNX interface takes labels as float (SamOnnxModel)
+            feeds["point_labels"] = feeds["point_labels"].astype(np.float32)
             got = evaluate_model(path.read_bytes(), feeds)
-            fn = make_decoder_fn(model, args.return_single_mask,
-                                 args.use_stability_score,
-                                 args.return_extra_metrics)
-            ref = fn(model.params, jnp.asarray(feeds["image_embeddings"]),
-                     jnp.asarray(feeds["point_coords"]),
-                     jnp.asarray(feeds["point_labels"], jnp.int32),
-                     jnp.asarray(feeds["mask_input"]),
-                     jnp.asarray(feeds["has_mask_input"]),
-                     jnp.asarray(feeds["orig_im_size"]))
-            names = ["masks", "prepadded_size", "iou_predictions"]
-            if args.return_extra_metrics:
-                names += ["stability_scores", "areas"]
-            names += ["low_res_masks"]
-            if args.quantize is None:
-                for name, r in zip(names, ref):
-                    np.testing.assert_allclose(got[name], np.asarray(r),
-                                               atol=1e-4, rtol=1e-4)
-                print("validation OK: parsed .onnx graph matches eager "
-                      "outputs")
-            else:
-                # quantized weights shift logits; contract = thresholded
-                # masks agree (same gate as the stablehlo int8 path)
-                thr = model.mask_threshold
-                agree = ((got["masks"] > thr)
-                         == (np.asarray(ref[0]) > thr)).mean()
-                if agree < 0.99:
-                    raise RuntimeError(
-                        f"quantized onnx mask agreement {agree:.4f} < 0.99")
-                print(f"validation OK: int8 .onnx masks agree with fp32 at "
-                      f"{agree:.4%} of pixels")
+            ref = _reference_outputs(model, args, test_args)
+            _check_outputs(model, got, ref,
+                           _output_names(args.return_extra_metrics),
+                           args.quantize, "parsed .onnx graph")
         return path
 
     path = export_decoder(model, args.output,
@@ -151,39 +174,15 @@ def main(argv=None):
     print(f"wrote {path} ({path.stat().st_size} bytes)")
 
     if args.validate:
-        import jax.numpy as jnp
-
         exported = load_exported(path)
-        emb = model.cfg.prompt_encoder.image_embedding_size
-        g4 = emb[0] * 4
-        td = model.cfg.mask_decoder.transformer_dim
-        b, n = args.batch or 1, args.num_points or 2
-        rng = np.random.default_rng(0)
-        test_args = (
-            rng.standard_normal((1, td, *emb)).astype(np.float32),
-            rng.uniform(0, model.img_size, (b, n, 2)).astype(np.float32),
-            np.ones((b, n), np.int32),
-            np.zeros((b, 1, g4, g4), np.float32),
-            np.zeros((b,), np.float32),
-            np.asarray([600, 800], np.int32),
-        )
+        test_args = _validation_inputs(model, args.batch or 1,
+                                       args.num_points or 2)
         outs = exported.call(*test_args)
-        fn = make_decoder_fn(model, args.return_single_mask,
-                             args.use_stability_score, args.return_extra_metrics)
-        ref = fn(model.params, *map(jnp.asarray, test_args))
-        if args.quantize is None:
-            for o, r in zip(outs, ref):
-                np.testing.assert_allclose(np.asarray(o), np.asarray(r), atol=1e-4)
-            print("validation OK: deserialized program matches eager outputs")
-        else:
-            # quantized weights shift logits; contract = thresholded masks agree
-            thr = model.mask_threshold
-            m_q = np.asarray(outs[0]) > thr
-            m_f = np.asarray(ref[0]) > thr
-            agree = (m_q == m_f).mean()
-            assert agree >= 0.99, f"quantized mask agreement {agree:.4f} < 0.99"
-            print(f"validation OK: {args.quantize} masks agree with fp32 at "
-                  f"{agree:.4%} of pixels")
+        names = _output_names(args.return_extra_metrics)
+        got = {k: np.asarray(v) for k, v in zip(names, outs)}
+        ref = _reference_outputs(model, args, test_args)
+        _check_outputs(model, got, ref, names, args.quantize,
+                       "deserialized program")
 
 
 if __name__ == "__main__":

@@ -88,23 +88,22 @@ def main(argv=None):
             args.bg_erosion_radius, args.laplace_sigma,
             img_path=Path(args.data_root) / "img_only_front_all_left")
         args.img_batch = 1  # per-image solver, no batched path
-    elif args.sam_checkpoint is not None:
-        from samcarriestheburden_tpu.engine.decoder_head import SamMaskDecoderHead
-
-        import jax.numpy as jnp
-
-        refine_params["prompts2use"] = [list(args.prompt1st), list(args.prompt2nd)]
-        head = SamMaskDecoderHead(args.sam_checkpoint, args.sam_model_type,
-                                  args.embeddings,
-                                  compute_dtype={"float32": jnp.float32,
-                                                 "bfloat16": jnp.bfloat16}[
-                                                     args.decoder_dtype])
-        refiner = SamSegRefiner(head, None, refine_params["prompts2use"])
     else:
-        refine_params["prompts2use"] = [list(args.prompt1st), list(args.prompt2nd)]
-        refiner = SamSegRefiner(args.sam_type, None,
-                                refine_params["prompts2use"],
-                                data_root=args.data_root)
+        refine_params["prompts2use"] = [list(args.prompt1st),
+                                        list(args.prompt2nd)]
+        if args.sam_checkpoint is not None:
+            from samcarriestheburden_tpu.engine.decoder_head import \
+                SamMaskDecoderHead
+
+            head = SamMaskDecoderHead(
+                args.sam_checkpoint, args.sam_model_type, args.embeddings,
+                compute_dtype={"float32": jnp.float32,
+                               "bfloat16": jnp.bfloat16}[args.decoder_dtype])
+            refiner = SamSegRefiner(head, None, refine_params["prompts2use"])
+        else:
+            refiner = SamSegRefiner(args.sam_type, None,
+                                    refine_params["prompts2use"],
+                                    data_root=args.data_root)
     seg_processor = SegEnhance(refiner, refine_params["ccl_selection"],
                                refine_params["morph_op"],
                                refine_params["struct_elem"],

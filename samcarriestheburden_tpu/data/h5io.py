@@ -154,13 +154,17 @@ def _check_shard_counts(parts) -> None:
                 f"earlier run?")
 
 
-def merge_mask_shards(out_h5, n_processes: int = None,
-                      delete_parts: bool = False) -> Path:
-    """Merge per-process ``<out>.part<p>`` mask files written by a multi-host
-    ``save_refined_segmentations`` sweep into one mask h5 (same schema, file
-    attrs copied from part 0; per-image ``estimated_dice`` attrs preserved).
-    Run on one host after all processes finish — the single-file counterpart
-    of :func:`samcarriestheburden_tpu.engine.embeddings.merge_embedding_shards`."""
+def merge_h5_shards(out_h5, group: str, check_attr: str,
+                    n_processes: int = None,
+                    delete_parts: bool = False) -> Path:
+    """Merge per-process ``<out>.part<p>`` h5 files written by a multi-host
+    sweep into one file: every member of ``group`` is copied (per-item attrs
+    preserved), file attrs come from part 0, and ``check_attr`` must agree
+    across parts.  Three stale-shard guards: auto-globbed part indices must
+    be contiguous 0..N-1 (round-3 ADVICE), each part's write-time
+    ``shard_count`` provenance must equal the merge-set size (round-4
+    review), and the merged file drops ``shard_count`` — it is no longer one
+    shard of an N-way run (round-4 ADVICE)."""
     import glob
 
     out_h5 = Path(out_h5)
@@ -168,9 +172,6 @@ def merge_mask_shards(out_h5, n_processes: int = None,
         parts = sorted(glob.glob(str(out_h5) + ".part*"))
         if not parts:
             raise FileNotFoundError(f"no shard files matching {out_h5}.part*")
-        # guard against stale shards from an earlier higher-process-count
-        # run being silently merged in (round-3 ADVICE): the matched part
-        # indices must form a contiguous 0..N-1 range
         idx = sorted(int(Path(p).suffix[len(".part"):]) for p in parts)
         if idx != list(range(len(idx))):
             raise ValueError(
@@ -185,19 +186,25 @@ def merge_mask_shards(out_h5, n_processes: int = None,
             with h5py.File(part, "r") as src:
                 if i == 0:
                     for k, v in src.attrs.items():
-                        # the merged single file is no longer one shard of an
-                        # N-way run — copying shard_count would claim false
-                        # provenance (round-4 ADVICE)
                         if k != "shard_count":
                             dst.attrs[k] = v
-                else:
-                    if src.attrs["labels"] != dst.attrs["labels"]:
-                        raise ValueError(
-                            f"shard {part} with different labels")
-                for stem in src.get("segmentation_mask", {}):
-                    src.copy(f"segmentation_mask/{stem}", dst,
-                             f"segmentation_mask/{stem}")
+                elif src.attrs[check_attr] != dst.attrs[check_attr]:
+                    raise ValueError(
+                        f"shard {part} with different {check_attr}")
+                for stem in src.get(group, {}):
+                    src.copy(f"{group}/{stem}", dst, f"{group}/{stem}")
     if delete_parts:
         for part in parts:
             Path(part).unlink()
     return out_h5
+
+
+def merge_mask_shards(out_h5, n_processes: int = None,
+                      delete_parts: bool = False) -> Path:
+    """Merge per-process ``<out>.part<p>`` mask files written by a multi-host
+    ``save_refined_segmentations`` sweep into one mask h5 (same schema, file
+    attrs copied from part 0; per-image ``estimated_dice`` attrs preserved).
+    Run on one host after all processes finish — the single-file counterpart
+    of :func:`samcarriestheburden_tpu.engine.embeddings.merge_embedding_shards`."""
+    return merge_h5_shards(out_h5, "segmentation_mask", "labels",
+                           n_processes=n_processes, delete_parts=delete_parts)

@@ -293,45 +293,7 @@ def merge_embedding_shards(out_h5, n_processes: int = None,
     """Merge the per-process ``<out>.part<p>`` files written by a multi-host
     precompute into one embeddings h5 (same schema, attrs copied from part 0).
     Run on one host after all processes finish."""
-    import glob
+    from samcarriestheburden_tpu.data.h5io import merge_h5_shards
 
-    import h5py
-
-    from samcarriestheburden_tpu.data.h5io import _check_shard_counts
-
-    out_h5 = Path(out_h5)
-    if n_processes is None:
-        parts = sorted(glob.glob(str(out_h5) + ".part*"))
-        if not parts:
-            raise FileNotFoundError(f"no shard files matching {out_h5}.part*")
-        # same stale-shard guards as data.h5io.merge_mask_shards: contiguous
-        # 0..N-1 indices AND each part's write-time shard_count provenance
-        idx = sorted(int(Path(p).suffix[len(".part"):]) for p in parts)
-        if idx != list(range(len(idx))):
-            raise ValueError(
-                f"shard indices {idx} are not contiguous 0..{len(idx) - 1}: "
-                f"stale .part files from an earlier run? Pass n_processes "
-                f"or delete the extras")
-    else:
-        parts = [f"{out_h5}.part{p}" for p in range(n_processes)]
-    _check_shard_counts(parts)
-    with h5py.File(out_h5, "w") as dst:
-        for i, part in enumerate(parts):
-            with h5py.File(part, "r") as src:
-                if i == 0:
-                    for k, v in src.attrs.items():
-                        # merged file is not one shard of an N-way run —
-                        # don't carry shard provenance over (round-4 ADVICE)
-                        if k != "shard_count":
-                            dst.attrs[k] = v
-                else:
-                    if src.attrs["checkpoint"] != dst.attrs["checkpoint"]:
-                        raise ValueError(
-                            f"shard {part} from a different checkpoint")
-                for stem in src.get("img_embedding", {}):
-                    src.copy(f"img_embedding/{stem}", dst,
-                             f"img_embedding/{stem}")
-    if delete_parts:
-        for part in parts:
-            Path(part).unlink()
-    return out_h5
+    return merge_h5_shards(out_h5, "img_embedding", "checkpoint",
+                           n_processes=n_processes, delete_parts=delete_parts)

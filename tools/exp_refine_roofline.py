@@ -73,6 +73,9 @@ def main():
         -jnp.ones((N_CLASSES, 1), jnp.int32)], axis=1)
 
     ca = _xla_cost(refine, features, coords, labels)
+    if ca is None or "flops" not in ca or "bytes accessed" not in ca:
+        sys.exit("cost analysis unavailable on this backend (needs TPU "
+                 "cost_analysis with flops + 'bytes accessed')")
     t = _time_it(refine, features, coords, labels, iters=5, warmup=2)
     flops = float(ca["flops"])
     bytes_ = float(ca["bytes accessed"])
@@ -129,6 +132,8 @@ def main():
 
     pts = jnp.asarray(rng.uniform(0, size, (ppb, 1, 2)), jnp.float32)
     ca2 = _xla_cost(amg_batch, pts, features)
+    if ca2 is None or "flops" not in ca2 or "bytes accessed" not in ca2:
+        sys.exit("cost analysis unavailable for the AMG program")
     t2 = _time_it(amg_batch, pts, features, iters=5, warmup=2)
     b2 = float(ca2["bytes accessed"])
     f2 = float(ca2["flops"])
